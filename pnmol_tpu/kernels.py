@@ -1,0 +1,203 @@
+"""Covariance kernels with shape-polymorphic Gram evaluation.
+
+Capability parity with ``/root/reference/src/pnmol/kernels.py``: the same
+call convention (scalar pair -> scalar; equal-shape ``(N, d)`` -> diagonal
+``(N,)``; ``(N, d) x (d, K)`` -> full Gram ``(N, K)``, i.e. callers pass
+``k(X, Y.T)`` for a Gram matrix), kernel addition, ``duplicate`` for
+block-diagonal system kernels, and grid-search MLE of the input scale.
+
+TPU-first deltas: kernels are frozen dataclasses (hashable, safe as jit
+static arguments), Gram assembly is a single nested-vmap batch that XLA fuses
+into one elementwise pipeline, and the MLE sweep evaluates *all* trial scales
+as one vmapped computation.
+"""
+
+import abc
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+
+class Kernel(abc.ABC):
+    """Covariance kernel interface."""
+
+    @abc.abstractmethod
+    def __call__(self, X, Y):
+        raise NotImplementedError
+
+
+def _gram_dispatch(pairwise, X, Y):
+    """Shape-polymorphic evaluation of a pairwise kernel function."""
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if X.ndim <= 1 and Y.ndim <= 1 and X.ndim == Y.ndim:
+        return pairwise(X, Y)
+    if X.shape == Y.shape:
+        return jax.vmap(pairwise, (0, 0))(X, Y)
+    # Full Gram matrix: X (N, d), Y (d, K) -> (N, K)
+    row = jax.vmap(pairwise, (0, None))
+    return jax.vmap(row, (None, 1), 1)(X, Y)
+
+
+class PairwiseKernel(Kernel):
+    """Kernel defined through a function of two points."""
+
+    @abc.abstractmethod
+    def pairwise(self, x, y):
+        raise NotImplementedError
+
+    def __call__(self, X, Y):
+        return _gram_dispatch(self.pairwise, X, Y)
+
+    def __add__(self, other):
+        self_pairwise, other_pairwise = self.pairwise, other.pairwise
+
+        def summed(x, y):
+            return self_pairwise(x, y) + other_pairwise(x, y)
+
+        return Lambda(summed)
+
+    def __str__(self):
+        return f"{self.__class__.__name__}()"
+
+
+class Lambda(PairwiseKernel):
+    """Wrap an arbitrary pairwise function as a kernel."""
+
+    def __init__(self, fun, /):
+        self._fun = fun
+
+    def pairwise(self, x, y):
+        return self._fun(x, y)
+
+    def __hash__(self):
+        return hash(self._fun)
+
+    def __eq__(self, other):
+        return isinstance(other, Lambda) and self._fun is other._fun
+
+
+def _sqdist(x, y):
+    diff = x - y
+    return jnp.dot(diff, diff)
+
+
+@dataclasses.dataclass(frozen=True)
+class RadialKernel(PairwiseKernel):
+    r"""k(x, y) = output_scale^2 * phi(||x - y|| * input_scale)."""
+
+    input_scale: float = 1.0
+    output_scale: float = 1.0
+
+    @property
+    def input_scale_squared(self):
+        return self.input_scale**2
+
+    @property
+    def output_scale_squared(self):
+        return self.output_scale**2
+
+
+@dataclasses.dataclass(frozen=True)
+class SquareExponential(RadialKernel):
+    def pairwise(self, x, y):
+        r2 = _sqdist(x, y) * self.input_scale_squared
+        return self.output_scale_squared * jnp.exp(-r2 / 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Matern52(RadialKernel):
+    """Matern(5/2). Not twice differentiable at x = y; the discretization layer
+    patches the removable singularity (see ``pnmol_tpu.discretize``)."""
+
+    def pairwise(self, x, y):
+        r2 = _sqdist(x, y)
+        scaled = jnp.sqrt(5.0 * r2 * self.input_scale_squared)
+        poly = 1.0 + scaled + scaled**2 / 3.0
+        return self.output_scale_squared * poly * jnp.exp(-scaled)
+
+
+@dataclasses.dataclass(frozen=True)
+class Polynomial(PairwiseKernel):
+    """k(x, y) = (x . y + const)^order."""
+
+    order: int = 2
+    const: float = 1.0
+
+    def pairwise(self, x, y):
+        return (jnp.dot(x, y) + self.const) ** self.order
+
+
+@dataclasses.dataclass(frozen=True)
+class WhiteNoise(PairwiseKernel):
+    """k(x, y) = output_scale^2 * 1[x == y]."""
+
+    output_scale: float = 1.0
+
+    def pairwise(self, x, y):
+        return self.output_scale**2 * jnp.all(x == y)
+
+
+class StackedKernel(Kernel):
+    """Stack of kernels whose Gram matrix is block-diagonal (PDE systems)."""
+
+    def __init__(self, *, kernel_list):
+        self.kernel_list = list(kernel_list)
+
+    def __call__(self, X, Y):
+        grams = [k(X, Y) for k in self.kernel_list]
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y)
+        if X.shape == Y.shape:
+            return jnp.concatenate(grams)
+        return jax.scipy.linalg.block_diag(*grams)
+
+
+# Backwards-compatible alias (reference name: _StackedKernel).
+_StackedKernel = StackedKernel
+
+
+def duplicate(kernel, num):
+    """``num`` copies of ``kernel`` stacked into a block-diagonal Gram."""
+    return StackedKernel(kernel_list=[kernel] * num)
+
+
+# ---------------------------------------------------------------------------
+# Hyperparameter calibration
+# ---------------------------------------------------------------------------
+
+
+def log_likelihood(gram_matrix, y, n):
+    """GP log marginal likelihood via one Cholesky (stable: no determinant of
+    the raw Gram as in the reference's ``kernels.py:206-211``)."""
+    chol = jnp.linalg.cholesky(gram_matrix)
+    white = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+    maha = white @ white
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+    return -0.5 * (maha + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+def input_scale_to_log_likelihood(input_scale, mesh_points, data, kernel_type):
+    kernel = kernel_type(input_scale=input_scale)
+    K = kernel(mesh_points, mesh_points.T)
+    return log_likelihood(gram_matrix=K, y=data, n=data.shape[0])
+
+
+def mle_input_scale(*, mesh_points, data, kernel_type, input_scale_trials):
+    """Grid-search MLE of the input scale: one vmapped sweep over all trials."""
+    sweep = jax.jit(
+        jax.vmap(
+            functools.partial(
+                input_scale_to_log_likelihood,
+                mesh_points=mesh_points,
+                data=data,
+                kernel_type=kernel_type,
+            )
+        ),
+        static_argnames=(),
+    )
+    values = sweep(jnp.asarray(input_scale_trials))
+    return input_scale_trials[jnp.argmax(values)]

@@ -1,0 +1,176 @@
+"""Mesh containers: scattered spatial points with neighbor queries.
+
+Capability parity with ``/root/reference/src/pnmol/mesh.py``: a
+``RectangularMesh`` over tensor-product 1-D/2-D grids with boundary/interior
+classification by bbox-face membership, k-NN stencil queries, and a
+boundary projection matrix.
+
+Host/device split (SURVEY.md §5): neighbor search runs once at problem
+*setup* and never in the step loop, so it lives on host. For moderate N a
+vectorized NumPy brute-force search is used (no KDTree build cost, exact,
+deterministic); above ``_KDTREE_CUTOVER`` points it switches to scipy's
+KDTree. Both return plain arrays that are then device-resident constants.
+"""
+
+import abc
+from functools import cached_property
+
+import jax.numpy as jnp
+import numpy as np
+
+_KDTREE_CUTOVER = 4096
+
+
+def _knn_host(points: np.ndarray, queries: np.ndarray, k: int):
+    """Indices of the k nearest neighbors for each query point (host-side)."""
+    n = points.shape[0]
+    k = min(k, n)
+    if n <= _KDTREE_CUTOVER:
+        d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+        idx = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+        order = np.take_along_axis(d2, idx, axis=1).argsort(axis=1)
+        return np.take_along_axis(idx, order, axis=1)
+    import scipy.spatial
+
+    tree = scipy.spatial.KDTree(points)
+    _, idx = tree.query(queries, k=k)
+    return np.atleast_2d(idx)
+
+
+class Mesh(abc.ABC):
+    """Scattered points."""
+
+    def __init__(self, points):
+        self.points = jnp.asarray(points)
+        self._points_host = np.asarray(self.points)
+
+    @abc.abstractmethod
+    def neighbours(self, point, num):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def boundary(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def interior(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.points)
+
+    def __getitem__(self, key):
+        return self.points[key]
+
+    def __repr__(self):
+        return f"{type(self).__name__}({repr(self.points)})"
+
+    @property
+    def shape(self):
+        return self.points.shape
+
+    @property
+    def ndim(self):
+        """Dimension of the mesh AS AN ARRAY."""
+        return self.points.ndim
+
+    @property
+    def dimension(self):
+        """Spatial dimension of the mesh."""
+        return self.points.shape[-1]
+
+    @property
+    def fill_distance(self):
+        """Largest distance from any point to its nearest distinct neighbor."""
+        d2 = ((self._points_host[:, None, :] - self._points_host[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        return float(np.sqrt(d2.min(axis=1).max()))
+
+    @property
+    def boundary_projection_matrix(self):
+        raise NotImplementedError
+
+
+class RectangularMesh(Mesh):
+    """Tensor-product grid over an axis-aligned bounding box."""
+
+    def __init__(self, points, bbox=None):
+        self.bbox = jnp.asarray(bbox) if bbox is not None else read_bbox(points)
+        super().__init__(points)
+
+    @classmethod
+    def from_bbox_1d(cls, bbox, step=None, num=None):
+        bbox = jnp.asarray(bbox)
+        if (step is None) == (num is None):
+            raise ValueError("Provide exactly one of step or num.")
+        if step is not None:
+            num = int((bbox[1] - bbox[0]) / step) + 1
+        grid = jnp.linspace(bbox[0], bbox[1], num=num, endpoint=True)
+        return cls(grid.reshape(-1, 1))
+
+    @classmethod
+    def from_bbox_2d(cls, bbox, steps=None, nums=None):
+        bbox = jnp.asarray(bbox)
+        if (steps is None) == (nums is None):
+            raise ValueError("Provide exactly one of steps or nums.")
+        if steps is not None:
+            nums = tuple(
+                int((bbox[d, 1] - bbox[d, 0]) / steps[d]) + 1 for d in range(2)
+            )
+        axes = [
+            jnp.linspace(bbox[d, 0], bbox[d, 1], num=nums[d], endpoint=True)
+            for d in range(2)
+        ]
+        grid0, grid1 = jnp.meshgrid(axes[0], axes[1], indexing="ij")
+        points = jnp.stack((grid0.reshape(-1), grid1.reshape(-1)), axis=-1)
+        return cls(points)
+
+    def neighbours(self, point, num):
+        """k nearest mesh points for each query point (host-side, setup only)."""
+        if num <= 0:
+            raise ValueError("num >= 1 required!")
+        queries = np.atleast_2d(np.asarray(point))
+        indices = _knn_host(self._points_host, queries, num)
+        if np.asarray(point).ndim == 1:
+            indices = indices[0]
+        return self.points[indices], jnp.asarray(indices)
+
+    @cached_property
+    def _bbox_2d(self):
+        bbox = np.asarray(self.bbox)
+        return bbox.reshape(-1, 2)
+
+    @cached_property
+    def _boundary_mask_host(self):
+        bbox = self._bbox_2d
+        on_face = (self._points_host == bbox[None, :, 0]) | (
+            self._points_host == bbox[None, :, 1]
+        )
+        return on_face.any(axis=1)
+
+    @cached_property
+    def boundary(self):
+        mask = jnp.asarray(self._boundary_mask_host)
+        return self.points[mask], mask, jnp.nonzero(mask)[0]
+
+    @cached_property
+    def interior(self):
+        mask = jnp.asarray(~self._boundary_mask_host)
+        return self.points[mask], mask, jnp.nonzero(mask)[0]
+
+    @cached_property
+    def boundary_projection_matrix(self):
+        """Rows of the identity at boundary indices: B x = x restricted to
+        the boundary (reference: ``mesh.py:171-175``)."""
+        _, _, indices = self.boundary
+        return jnp.eye(self.points.shape[0], dtype=self.points.dtype)[indices, :]
+
+
+def read_bbox(points):
+    """Per-dimension (min, max) of a point cloud, shape (dim, 2)."""
+    pts = np.asarray(points)
+    return jnp.asarray(
+        np.stack((pts.min(axis=0), pts.max(axis=0)), axis=-1)
+    )

@@ -1,0 +1,5 @@
+"""Time-integration layer: PDE-filter driver and EK1 solvers."""
+
+from pnmol_tpu.solvers import latent, pdefilter, white
+
+__all__ = ["latent", "pdefilter", "white"]

@@ -1,0 +1,252 @@
+"""Latent-force EK1 PDE filters: discretization error as an explicit latent state.
+
+Capability parity with ``/root/reference/src/pnmol/latent.py``: a stacked
+state-space model of two IWPs — the solution prior (Gram-Cholesky diffusion)
+and a latent-force prior (``E_sqrtm`` diffusion) — filtered with *noise-free*
+square-root updates, so the discretization error lives in the state rather
+than the measurement covariance. No error estimate: constant steps only,
+exactly like the reference (``latent.py:218-219``).
+
+TPU-first delta: because both stacked processes share the Nordsieck order,
+the stack collapses to a *single* IWP over ``2d`` "points" with the
+block-diagonal spatial factor (see :mod:`pnmol_tpu.ops.stacked_ssm`). The
+reference's order-"F" reshape dance between glued ``(nu+1, 2d)`` means and
+flat vectors (``latent.py:165-215``) is the identity in the point-major
+layout: the glued mean IS the standard layout with ``d' = 2d``. The step
+kernel is therefore the same structured predict/QR/update pipeline as the
+white solver, with a latent-aware measurement operator.
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
+from pnmol_tpu.solvers import pdefilter
+
+
+class LatentSolverCache(NamedTuple):
+    """Per-problem constants of the latent-force step kernel (a pytree)."""
+
+    A1d: jnp.ndarray  # (n, n)
+    Ql: jnp.ndarray  # (2D, 2D) kron(blockdiag(chol_gram, E_sqrtm), LQ1d)
+    L: jnp.ndarray  # (d, d)
+    B: jnp.ndarray  # (b, d)
+
+
+def _measurement_operator_latent(cache, G, p, n, d):
+    """X -> H @ X for the latent-force measurement, H never materialized.
+
+    ``H = [[p1 E1_s - G (p0 E0_s), -(p0 E0_eps)], [p0 B E0_s, 0]]`` over the
+    stacked (state | latent) coordinates (reference: ``latent.py:237-292``).
+    """
+
+    def apply_H(X):
+        X0 = iwp.project_derivative(X, 0, n)  # (2d, K)
+        X1 = iwp.project_derivative(X, 1, n)
+        X0_state, X0_eps = X0[:d], X0[d:]
+        X1_state = X1[:d]
+        ode_rows = p[1] * X1_state - G @ (p[0] * X0_state) - p[0] * X0_eps
+        bc_rows = cache.B @ (p[0] * X0_state)
+        return jnp.concatenate((ode_rows, bc_rows), axis=0)
+
+    return apply_H
+
+
+def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
+                        f: Optional[Callable], df: Optional[Callable],
+                        linear: bool):
+    """Jitted latent-force EK1 attempt-step kernel.
+
+    ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
+    to the reference ``attempt_step`` (``latent.py:155-225``).
+    """
+    n = num_derivatives + 1
+
+    @jax.jit
+    def step(mean, cov_sqrtm, t_next, dt):
+        d = cache.L.shape[0]
+        m_dim = d + cache.B.shape[0]
+        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+
+        # [Precondition] (shared scales for state and latent halves)
+        M = mean * p_inv[:, None]
+        Cl = iwp.scale_stack(p_inv, cov_sqrtm)
+
+        # [Predict mean]
+        Mp = cache.A1d @ M
+
+        # [Linearize] at the predicted state half
+        state_at = p[0] * Mp[0, :d]
+        eps_at = p[0] * Mp[0, d:]
+        if linear:
+            G, shift = cache.L, jnp.zeros_like(state_at)
+        else:
+            fx = f(t_next, state_at)
+            Jx = df(t_next, state_at)
+            G, shift = Jx + cache.L, Jx @ state_at - fx
+        apply_H = _measurement_operator_latent(cache, G, p, n, d)
+
+        # [Residual] z = H mp + [shift; 0]
+        z_ode = p[1] * Mp[1, :d] - G @ state_at - eps_at + shift
+        z_bc = cache.B @ state_at
+        z = jnp.concatenate((z_ode, z_bc))
+
+        # [Predict covariance] QR #1 over the doubled state
+        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+
+        # [Update] noise-free, product form
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
+        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+
+        # [Calibrate]
+        residual_white = jax.scipy.linalg.solve_triangular(Sl.T, z, lower=False)
+        diffusion_sq = residual_white @ residual_white / m_dim
+
+        # [Un-precondition]
+        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+        C_new = iwp.scale_stack(p, Cl_new)
+        # Latent solvers carry no error estimate (constant steps only).
+        zero_err = jnp.zeros((d,), dtype=M_new.dtype)
+        return M_new, C_new, zero_err, jnp.abs(M_new[0, :d]), diffusion_sq
+
+    return step
+
+
+class _LatentForceEK1Base(pdefilter.PDEFilter):
+    """Shared initialization and plumbing of the latent-force solvers."""
+
+    LINEAR: bool = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ssm = None
+        self.state_iwp = None
+        self.lf_iwp = None
+
+    @property
+    def supports_adaptive_steps(self):
+        return False
+
+    def initialize(self, pde):
+        n, d = self.num_derivatives + 1, pde.L.shape[0]
+
+        # [Stacked prior] state-IWP (Gram Cholesky) (+) latent-IWP (E_sqrtm)
+        X = pde.mesh_spatial.points
+        chol_gram = jnp.linalg.cholesky(self.spatial_kernel(X, X.T))
+        self.state_iwp = iwp.IntegratedWienerTransition(
+            num_derivatives=self.num_derivatives,
+            wiener_process_dimension=d,
+            wp_diffusion_sqrtm=chol_gram,
+        )
+        self.lf_iwp = iwp.IntegratedWienerTransition(
+            num_derivatives=self.num_derivatives,
+            wiener_process_dimension=d,
+            wp_diffusion_sqrtm=pde.E_sqrtm,
+        )
+        self.ssm = stacked_ssm.StackedSSM(processes=[self.state_iwp, self.lf_iwp])
+        merged = self.ssm.as_single_iwp()
+        self.E0 = self.lf_iwp.projection_matrix(0)
+        self.E1 = self.lf_iwp.projection_matrix(1)
+
+        f = getattr(pde, "f", None)
+        df = getattr(pde, "df", None)
+        self._cache = LatentSolverCache(
+            A1d=merged.preconditioned_discretize_1d[0],
+            Ql=merged.process_noise_factor,
+            L=pde.L,
+            B=pde.B,
+        )
+        self._step_fn = make_latent_step_fn(
+            cache=self._cache,
+            num_derivatives=self.num_derivatives,
+            f=f,
+            df=df,
+            linear=self.LINEAR,
+        )
+
+        # [Init] standard-normal start; update the state half on y0 (nugget),
+        # glue with the latent half, update the stack on the PDE measurement.
+        c0 = self.diffuse_prior_scale * jnp.eye(n)
+        C0_state_raw = jnp.kron(chol_gram, c0)
+        C0_latent_raw = jnp.kron(pde.E_sqrtm, c0)
+
+        nugget_y0 = 1e-6 * jnp.eye(d)
+        C0_state_y0, kgain_y0, _ = sqrt.update_sqrt(self.E0, C0_state_raw, nugget_y0)
+        m0_state_flat = kgain_y0 @ pde.y0  # prior mean is zero
+
+        m0_stack = jnp.concatenate((m0_state_flat, jnp.zeros_like(m0_state_flat)))
+        C0_block = jax.scipy.linalg.block_diag(C0_state_y0, C0_latent_raw)
+
+        z_pde, H_pde = self._evaluate_ode_dense(pde, m0_stack, pde.t0)
+        nugget_pde = 1e-6 * jnp.eye(d + pde.B.shape[0])
+        C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_block, nugget_pde)
+        m0 = m0_stack - kgain @ z_pde
+
+        # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.
+        m0_state, m0_latent = jnp.split(m0, 2)
+        mean0 = jnp.concatenate(
+            (iwp.flat_to_mean(m0_state, n), iwp.flat_to_mean(m0_latent, n)), axis=1
+        )
+        y = rv.MultivariateNormal(mean=mean0, cov_sqrtm=C0)
+        return pdefilter.PDEFilterState(
+            t=jnp.asarray(pde.t0, dtype=m0.dtype),
+            y=y,
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=jnp.zeros((), dtype=m0.dtype),
+        )
+
+    def _evaluate_ode_dense(self, pde, m_stack, t):
+        """Dense latent measurement assembly; used once at initialization."""
+        d = pde.L.shape[0]
+        D = self.state_iwp.state_dimension
+        E0, E1 = self.E0, self.E1
+        state_at = E0 @ m_stack[:D]
+        eps_at = E0 @ m_stack[D:]
+        if self.LINEAR:
+            G, shift = pde.L, jnp.zeros_like(state_at)
+        else:
+            fx = pde.f(t, state_at)
+            Jx = pde.df(t, state_at)
+            G, shift = Jx + pde.L, Jx @ state_at - fx
+        H_state = E1 - G @ E0
+        H_eps = -E0
+        H_bc = pde.B @ E0
+        H = jnp.block([[H_state, H_eps], [H_bc, jnp.zeros_like(H_bc)]])
+        z = H @ m_stack + jnp.concatenate(
+            (shift, jnp.zeros(pde.B.shape[0], dtype=shift.dtype))
+        )
+        return z, H
+
+    def _step_function(self, pde):
+        return self._step_fn
+
+    def attempt_step(self, state, dt, pde):
+        mean, cov, _, reference, diff_sq = self._step_fn(
+            state.y.mean, state.y.cov_sqrtm, state.t + dt, jnp.asarray(dt)
+        )
+        new_state = pdefilter.PDEFilterState(
+            t=state.t + dt,
+            y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov),
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=diff_sq,
+        )
+        return new_state, dict(num_f_evaluations=1, num_df_evaluations=1)
+
+
+class LinearLatentForceEK1(_LatentForceEK1Base):
+    """Latent-force EK1 for linear evolution equations."""
+
+    LINEAR = True
+
+
+class SemiLinearLatentForceEK1(_LatentForceEK1Base):
+    """Latent-force EK1 for semilinear evolution equations."""
+
+    LINEAR = False

@@ -1,0 +1,436 @@
+"""PDE-filter driver: state containers, solve loops, step acceptance.
+
+Capability parity with ``/root/reference/src/pnmol/pdefilter.py`` — the same
+public surface (``solve`` / ``simulate_final_state`` / ``solution_generator``,
+info counters, diffusion quasi-MLE, ``stop_at`` time stops, progress bar) —
+but the step loop is TPU-native:
+
+* Constant steps: the whole trajectory is one ``lax.scan`` over a host-
+  precomputed step schedule (static shapes, single compilation).
+* Adaptive steps: ``simulate_final_state`` runs the full attempt/accept/
+  reject loop inside one ``lax.while_loop``; nothing crosses the host
+  boundary until the final state.
+* A Python generator path remains for API parity and for callers that want
+  to observe every step; it drives the same jitted attempt-step kernel.
+
+Subclasses (the white-noise and latent-force EK1 solvers) implement
+``initialize`` and ``attempt_step``; ``attempt_step`` must be a thin wrapper
+over a jitted pure function so all loop styles share one compiled kernel.
+"""
+
+import dataclasses
+from abc import ABC, abstractmethod
+from typing import Dict, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnmol_tpu import kernels
+from pnmol_tpu.odetools import step as step_module
+from pnmol_tpu.ops import rv
+
+
+class PDEFilterState(NamedTuple):
+    """Filter state at one time point (a JAX pytree)."""
+
+    t: jnp.ndarray
+    y: rv.MultivariateNormal
+    error_estimate: Optional[jnp.ndarray]
+    reference_state: Optional[jnp.ndarray]
+    diffusion_squared_local: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=False)
+class PDESolution:
+    t: jnp.ndarray
+    mean: jnp.ndarray
+    cov_sqrtm: jnp.ndarray
+    info: Dict
+    diffusion_squared_calibrated: float
+
+
+def _empty_info():
+    return dict(
+        num_f_evaluations=0,
+        num_df_evaluations=0,
+        num_df_diagonal_evaluations=0,
+        num_steps=0,
+        num_attempted_steps=0,
+    )
+
+
+def constant_step_schedule(t0, tmax, dt):
+    """Host-side step schedule for constant steps: the exact sequence the
+    incremental ``while t < tmax: dt = min(dt, tmax - t)`` loop would take."""
+    ts, dts = [], []
+    t = float(t0)
+    dt = float(dt)
+    while t < float(tmax):
+        this_dt = min(dt, float(tmax) - t)
+        ts.append(t)
+        dts.append(this_dt)
+        t = t + this_dt
+    return np.asarray(ts), np.asarray(dts)
+
+
+class PDEFilter(ABC):
+    """Filtering-based PDE solver interface."""
+
+    def __init__(
+        self,
+        *,
+        steprule=None,
+        num_derivatives=2,
+        spatial_kernel=None,
+        diffuse_prior_scale=1e0,
+    ):
+        self.steprule = steprule or step_module.Adaptive()
+        self.num_derivatives = num_derivatives
+        self.spatial_kernel = (
+            spatial_kernel
+            if spatial_kernel is not None
+            else kernels.Matern52() + kernels.WhiteNoise()
+        )
+        self.diffuse_prior_scale = diffuse_prior_scale
+
+        # Filled by initialize()
+        self.iwp = None
+        self.E0 = None
+        self.E1 = None
+
+    def __repr__(self):
+        return (
+            f"{self.__class__.__name__}(num_derivatives={self.num_derivatives}, "
+            f"steprule={self.steprule}, spatial_kernel={self.spatial_kernel})"
+        )
+
+    # -- subclass contract ---------------------------------------------------
+
+    @abstractmethod
+    def initialize(self, pde) -> PDEFilterState:
+        raise NotImplementedError
+
+    @abstractmethod
+    def attempt_step(self, state, dt, pde):
+        raise NotImplementedError
+
+    @property
+    def supports_adaptive_steps(self):
+        return True
+
+    # -- public API ----------------------------------------------------------
+
+    def solve(self, pde, /, *, stop_at=None, progressbar=False):
+        if isinstance(self.steprule, step_module.Constant) and stop_at is None:
+            return self._solve_constant_scan(pde, progressbar=progressbar)
+        return self._solve_generator(pde, stop_at=stop_at, progressbar=progressbar)
+
+    def simulate_final_state(self, pde, /, *, stop_at=None, progressbar=False):
+        if stop_at is None and isinstance(self.steprule, step_module.Constant):
+            return self._final_state_constant_scan(pde)
+        if (
+            stop_at is None
+            and isinstance(self.steprule, step_module.Adaptive)
+            and self.supports_adaptive_steps
+        ):
+            return self._final_state_adaptive_whileloop(pde)
+        # generic fallback
+        state, info = None, None
+        diffusion_squared_list = []
+        for state, info in self.solution_generator(
+            pde, stop_at=stop_at, progressbar=progressbar
+        ):
+            diffusion_squared_list.append(state.diffusion_squared_local)
+        diffusion = jnp.mean(jnp.stack(diffusion_squared_list[1:]))
+        cov_scaled = state.y.cov_sqrtm * jnp.sqrt(diffusion)
+        return state._replace(y=state.y._replace(cov_sqrtm=cov_scaled)), info
+
+    def solution_generator(self, pde, /, *, stop_at=None, progressbar=False):
+        """Yield (state, info) per accepted step; Python-loop parity path."""
+        time_stopper = _TimeStopper(stop_at) if stop_at is not None else None
+        state = self.initialize(pde)
+        info = _empty_info()
+        yield state, info
+
+        dt = self.steprule.first_dt(pde)
+        pbar = _make_progressbar(progressbar, pde.tmax)
+
+        while float(state.t) < float(pde.tmax):
+            if pbar is not None:
+                pbar.advance_to(float(state.t), dt=float(dt))
+            if time_stopper is not None:
+                dt = time_stopper.adjust_dt_to_time_stops(float(state.t), dt)
+
+            state, dt, step_info = self.perform_full_step(state, dt, pde)
+            info["num_steps"] += 1
+            for key in (
+                "num_f_evaluations",
+                "num_df_evaluations",
+                "num_df_diagonal_evaluations",
+                "num_attempted_steps",
+            ):
+                info[key] += step_info.get(key, 0)
+            yield state, info
+
+        if pbar is not None:
+            pbar.close(float(state.t), dt=float(dt))
+
+    def perform_full_step(self, state, initial_dt, pde):
+        """One accepted step, including the attempt/reject loop."""
+        dt = initial_dt
+        step_info = dict(
+            num_f_evaluations=0,
+            num_df_evaluations=0,
+            num_df_diagonal_evaluations=0,
+            num_attempted_steps=0,
+        )
+        accepted = False
+        proposed_state = None
+        while not accepted:
+            proposed_state, attempt_info = self.attempt_step(state, dt, pde)
+            step_info["num_attempted_steps"] += 1
+            for key in (
+                "num_f_evaluations",
+                "num_df_evaluations",
+                "num_df_diagonal_evaluations",
+            ):
+                step_info[key] += attempt_info.get(key, 0)
+
+            scaled_error = self.steprule.scale_error_estimate(
+                unscaled_error_estimate=(
+                    dt * proposed_state.error_estimate
+                    if proposed_state.error_estimate is not None
+                    else None
+                ),
+                reference_state=proposed_state.reference_state,
+            )
+            accepted = bool(self.steprule.is_accepted(scaled_error))
+            suggested_dt = self.steprule.suggest(
+                dt, scaled_error, local_convergence_rate=self.num_derivatives + 1
+            )
+            if accepted:
+                dt = min(float(suggested_dt), float(pde.tmax) - float(proposed_state.t))
+            else:
+                dt = min(float(suggested_dt), float(pde.tmax) - float(state.t))
+            assert dt >= 0, f"Invalid step size: dt={dt}"
+
+        return proposed_state, dt, step_info
+
+    # -- jitted fast paths ----------------------------------------------------
+    # Subclasses provide _scan_attempt(carry, t_next, dt) via make_step_fn().
+
+    @abstractmethod
+    def _step_function(self, pde):
+        """Return a jitted pure function ``(mean, cov, t_next, dt) ->
+        (mean, cov, error, reference, diffusion_sq_local)``.
+
+        Must be called after ``initialize``.
+        """
+        raise NotImplementedError
+
+    def _solve_constant_scan(self, pde, progressbar=False):
+        state0 = self.initialize(pde)
+        dt0 = self.steprule.first_dt(pde)
+        ts_prev, dts = constant_step_schedule(pde.t0, pde.tmax, dt0)
+        ts_next = ts_prev + dts
+        step_fn = self._step_function(pde)
+
+        def body(carry, xs):
+            mean, cov = carry
+            t_next, dt = xs
+            mean, cov, error, ref, diff_sq = step_fn(mean, cov, t_next, dt)
+            return (mean, cov), (mean, cov, diff_sq)
+
+        (_, _), (means, covs, diffs) = jax.lax.scan(
+            body,
+            (state0.y.mean, state0.y.cov_sqrtm),
+            (jnp.asarray(ts_next), jnp.asarray(dts)),
+        )
+
+        num_steps = len(dts)
+        info = dict(
+            num_f_evaluations=num_steps,
+            num_df_evaluations=num_steps,
+            num_df_diagonal_evaluations=0,
+            num_steps=num_steps,
+            num_attempted_steps=num_steps,
+        )
+        full_ts = jnp.concatenate((jnp.asarray([pde.t0]), jnp.asarray(ts_next)))
+        full_means = jnp.concatenate((state0.y.mean[None], means))
+        full_covs = jnp.concatenate((state0.y.cov_sqrtm[None], covs))
+        return PDESolution(
+            t=full_ts,
+            mean=full_means,
+            cov_sqrtm=full_covs,
+            info=info,
+            diffusion_squared_calibrated=jnp.mean(diffs),
+        )
+
+    def _final_state_constant_scan(self, pde):
+        state0 = self.initialize(pde)
+        dt0 = self.steprule.first_dt(pde)
+        ts_prev, dts = constant_step_schedule(pde.t0, pde.tmax, dt0)
+        ts_next = ts_prev + dts
+        step_fn = self._step_function(pde)
+
+        def body(carry, xs):
+            mean, cov, diff_sum = carry
+            t_next, dt = xs
+            mean, cov, error, ref, diff_sq = step_fn(mean, cov, t_next, dt)
+            return (mean, cov, diff_sum + diff_sq), None
+
+        (mean, cov, diff_sum), _ = jax.lax.scan(
+            body,
+            (state0.y.mean, state0.y.cov_sqrtm, jnp.zeros(())),
+            (jnp.asarray(ts_next), jnp.asarray(dts)),
+        )
+        num_steps = len(dts)
+        diffusion = diff_sum / num_steps
+        info = dict(
+            num_f_evaluations=num_steps,
+            num_df_evaluations=num_steps,
+            num_df_diagonal_evaluations=0,
+            num_steps=num_steps,
+            num_attempted_steps=num_steps,
+        )
+        final = PDEFilterState(
+            t=jnp.asarray(ts_next[-1]),
+            y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov * jnp.sqrt(diffusion)),
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=diff_sum / num_steps,
+        )
+        return final, info
+
+    def _final_state_adaptive_whileloop(self, pde):
+        state0 = self.initialize(pde)
+        dt0 = jnp.asarray(self.steprule.first_dt(pde))
+        step_fn = self._step_function(pde)
+        steprule = self.steprule
+        tmax = pde.tmax
+        rate = self.num_derivatives + 1
+
+        def cond(carry):
+            t = carry[0]
+            return t < tmax
+
+        def body(carry):
+            t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry
+            new_mean, new_cov, error, ref, diff_sq = step_fn(mean, cov, t + dt, dt)
+            scaled = steprule.scale_error_estimate(dt * error, ref)
+            accepted = steprule.is_accepted(scaled)
+            suggested = steprule.suggest(dt, scaled, local_convergence_rate=rate)
+
+            t_new = jnp.where(accepted, t + dt, t)
+            mean_new = jnp.where(accepted, new_mean, mean)
+            cov_new = jnp.where(accepted, new_cov, cov)
+            dt_new = jnp.minimum(suggested, tmax - t_new)
+            diff_new = diff_sum + jnp.where(accepted, diff_sq, 0.0)
+            return (
+                t_new,
+                mean_new,
+                cov_new,
+                dt_new,
+                diff_new,
+                n_steps + accepted.astype(jnp.int32),
+                n_attempts + 1,
+            )
+
+        carry0 = (
+            jnp.asarray(pde.t0, dtype=dt0.dtype),
+            state0.y.mean,
+            state0.y.cov_sqrtm,
+            dt0,
+            jnp.zeros((), dtype=dt0.dtype),
+            jnp.zeros((), dtype=jnp.int32),
+            jnp.zeros((), dtype=jnp.int32),
+        )
+        t, mean, cov, dt, diff_sum, n_steps, n_attempts = jax.lax.while_loop(
+            cond, body, carry0
+        )
+        diffusion = diff_sum / jnp.maximum(n_steps, 1)
+        info = dict(
+            num_f_evaluations=int(n_attempts),
+            num_df_evaluations=int(n_attempts),
+            num_df_diagonal_evaluations=0,
+            num_steps=int(n_steps),
+            num_attempted_steps=int(n_attempts),
+        )
+        final = PDEFilterState(
+            t=t,
+            y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov * jnp.sqrt(diffusion)),
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=diffusion,
+        )
+        return final, info
+
+    def _solve_generator(self, pde, *, stop_at=None, progressbar=False):
+        times, means, cov_sqrtms, diffusions = [], [], [], []
+        info = _empty_info()
+        first = True
+        for state, info in self.solution_generator(
+            pde, stop_at=stop_at, progressbar=progressbar
+        ):
+            times.append(state.t)
+            means.append(state.y.mean)
+            cov_sqrtms.append(state.y.cov_sqrtm)
+            if not first:
+                diffusions.append(state.diffusion_squared_local)
+            first = False
+        return PDESolution(
+            t=jnp.stack([jnp.asarray(t) for t in times]),
+            mean=jnp.stack(means),
+            cov_sqrtm=jnp.stack(cov_sqrtms),
+            info=info,
+            diffusion_squared_calibrated=jnp.mean(jnp.stack(diffusions)),
+        )
+
+
+class _TimeStopper:
+    """Clamp dt so the solver lands exactly on requested output times."""
+
+    def __init__(self, locations: Iterable):
+        self._locations = iter(locations)
+        self._next_location = next(self._locations)
+
+    def adjust_dt_to_time_stops(self, t, dt):
+        if t >= self._next_location:
+            try:
+                self._next_location = next(self._locations)
+            except StopIteration:
+                self._next_location = np.inf
+        if t + dt > self._next_location:
+            dt = self._next_location - t
+        return dt
+
+
+class _ProgressBar:
+    def __init__(self, tmax, steps=100):
+        import tqdm
+
+        self._tmax = float(tmax)
+        self._increment = self._tmax / steps
+        self._threshold = self._increment
+        self._bar = tqdm.tqdm(total=steps)
+
+    def advance_to(self, t, dt):
+        while t + dt >= self._threshold:
+            self._bar.update()
+            self._threshold += self._increment
+        self._bar.set_description(f"t={t:.4f}, dt={dt:.2E}")
+
+    def close(self, t, dt):
+        self._bar.update()
+        self._bar.set_description(f"t={t:.4f}, dt={dt:.2E}")
+        self._bar.close()
+
+
+def _make_progressbar(enabled, tmax):
+    if not enabled:
+        return None
+    try:
+        return _ProgressBar(tmax)
+    except ImportError:
+        return None

@@ -1,0 +1,241 @@
+"""White-noise EK1 PDE filters: discretization error as measurement noise.
+
+Capability parity with ``/root/reference/src/pnmol/white.py`` (same math:
+Gram-Cholesky IWP prior, sqrt-update initialization on y0 and the linearized
+PDE measurement, per-step quasi-MLE diffusion, error estimate from the dense
+innovation covariance).
+
+TPU-first shape of the step kernel: the state lives in the point-major
+Nordsieck layout of :mod:`pnmol_tpu.ops.iwp`, so
+
+* the transition and preconditioner apply as batched small matmuls /
+  broadcast scales (never a dense ``(D, D)`` kron product),
+* the measurement matrix ``H`` is never materialized — only products
+  ``H @ X`` via derivative slices and one ``(d, d) @ (d, D)`` matmul,
+* the per-step cost concentrates in exactly two QR factorizations
+  (propagate + update), which XLA tiles onto the MXU,
+
+and the whole step is a single jitted pure function consumed by the scan /
+while-loop drivers in :mod:`pnmol_tpu.solvers.pdefilter`.
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+from pnmol_tpu.ops import iwp, rv, sqrt
+from pnmol_tpu.solvers import pdefilter
+
+
+class WhiteSolverCache(NamedTuple):
+    """Per-problem constants of the white-noise step kernel (a pytree)."""
+
+    A1d: jnp.ndarray  # (n, n) preconditioned 1-D transition
+    Ql: jnp.ndarray  # (D, D) preconditioned noise factor kron(chol_gram, LQ1d)
+    L: jnp.ndarray  # (d, d) differentiation matrix
+    B: jnp.ndarray  # (b, d) boundary operator
+    E_bc_sqrtm: jnp.ndarray  # (d + b, d + b) blockdiag(E_sqrtm, R_sqrtm)
+
+
+def _measurement_operator(cache, G, p, n):
+    """Return X -> H @ X for the EK1 measurement, without materializing H.
+
+    ``H = [p1 * E1 - G (p0 * E0); p0 * B E0]`` in preconditioned coordinates
+    (G = Jx for linear problems, Jx + L for semilinear ones).
+    """
+
+    def apply_H(X):
+        X0 = iwp.project_derivative(X, 0, n)
+        X1 = iwp.project_derivative(X, 1, n)
+        ode_rows = p[1] * X1 - G @ (p[0] * X0)
+        bc_rows = cache.B @ (p[0] * X0)
+        return jnp.concatenate((ode_rows, bc_rows), axis=0)
+
+    return apply_H
+
+
+def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
+    """EK1 linearization at the predicted point: (G, shift)."""
+    if linear:
+        return L, jnp.zeros_like(m_at)
+    fx = pde_f(t, m_at)
+    Jx = pde_df(t, m_at)
+    return Jx + L, Jx @ m_at - fx
+
+
+def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
+                       f: Optional[Callable], df: Optional[Callable],
+                       linear: bool):
+    """Build the jitted white-noise EK1 attempt-step kernel.
+
+    Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
+    (mean, cov, error_estimate (d,), reference (d,), diffusion_sq ())``
+    with semantics identical to the reference ``attempt_step``
+    (``/root/reference/src/pnmol/white.py:96-146``).
+    """
+    n = num_derivatives + 1
+
+    @jax.jit
+    def step(mean, cov_sqrtm, t_next, dt):
+        d = mean.shape[1]
+        m_dim = d + cache.B.shape[0]
+        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+
+        # [Precondition]
+        M = mean * p_inv[:, None]
+        Cl = iwp.scale_stack(p_inv, cov_sqrtm)
+
+        # [Predict mean]
+        Mp = cache.A1d @ M
+
+        # [Linearize] (EK1 at the predicted point)
+        m_at = p[0] * Mp[0]
+        G, shift = _linearize(f, df, cache.L, t_next, m_at, linear)
+        apply_H = _measurement_operator(cache, G, p, n)
+
+        # [Residual] z = H mp + [shift; 0]
+        z_ode = p[1] * Mp[1] - G @ m_at + shift
+        z_bc = cache.B @ m_at
+        z = jnp.concatenate((z_ode, z_bc))
+
+        # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system
+        HQl = apply_H(cache.Ql)
+        S = HQl @ HQl.T + cache.E_bc_sqrtm @ cache.E_bc_sqrtm.T
+        sigma_squared = z @ jnp.linalg.solve(S, z) / m_dim
+        error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
+        error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
+
+        # [Predict covariance] QR #1
+        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+
+        # [Update] QR #2, product form
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, cache.E_bc_sqrtm)
+        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+
+        # [Calibrate] local diffusion from the whitened residual
+        residual_white = jax.scipy.linalg.solve_triangular(Sl.T, z, lower=False)
+        diffusion_sq = residual_white @ residual_white / m_dim
+
+        # [Un-precondition]
+        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+        C_new = iwp.scale_stack(p, Cl_new)
+        reference = jnp.abs(M_new[0])
+        return M_new, C_new, error, reference, diffusion_sq
+
+    return step
+
+
+def _evaluate_ode_dense(*, L, B, E_sqrtm, R_sqrtm, f, df, linear, E0, E1, m_flat, t):
+    """Dense measurement assembly, used once at initialization."""
+    m_at = E0 @ m_flat
+    if linear:
+        G, shift = L, jnp.zeros_like(m_at)
+    else:
+        fx = f(t, m_at)
+        Jx = df(t, m_at)
+        G, shift = Jx + L, Jx @ m_at - fx
+    H = jnp.vstack((E1 - G @ E0, B @ E0))
+    z = H @ m_flat + jnp.concatenate((shift, jnp.zeros(B.shape[0], dtype=shift.dtype)))
+    E_bc_sqrtm = jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm)
+    return z, H, E_bc_sqrtm
+
+
+class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
+    """Shared initialization and step plumbing of the white-noise solvers."""
+
+    LINEAR: bool = True
+
+    def initialize(self, pde):
+        n, d = self.num_derivatives + 1, pde.L.shape[0]
+
+        # [Prior] spatial kernel Gram Cholesky becomes the IWP diffusion factor
+        X = pde.mesh_spatial.points
+        chol_gram = jnp.linalg.cholesky(self.spatial_kernel(X, X.T))
+        self.iwp = iwp.IntegratedWienerTransition(
+            num_derivatives=self.num_derivatives,
+            wiener_process_dimension=d,
+            wp_diffusion_sqrtm=chol_gram,
+        )
+        self.E0 = self.iwp.projection_matrix(0)
+        self.E1 = self.iwp.projection_matrix(1)
+
+        f = getattr(pde, "f", None)
+        df = getattr(pde, "df", None)
+        self._cache = WhiteSolverCache(
+            A1d=self.iwp.preconditioned_discretize_1d[0],
+            Ql=self.iwp.process_noise_factor,
+            L=pde.L,
+            B=pde.B,
+            E_bc_sqrtm=jax.scipy.linalg.block_diag(pde.E_sqrtm, pde.R_sqrtm),
+        )
+        self._step_fn = make_white_step_fn(
+            cache=self._cache,
+            num_derivatives=self.num_derivatives,
+            f=f,
+            df=df,
+            linear=self.LINEAR,
+        )
+
+        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0, on PDE
+        C0_raw = jnp.kron(chol_gram, self.diffuse_prior_scale * jnp.eye(n))
+        nugget_y0 = 1e-10 * jnp.eye(d)
+        C0_y0, kgain_y0, S_sqrtm_y0 = sqrt.update_sqrt(self.E0, C0_raw, nugget_y0)
+        m0_flat = kgain_y0 @ pde.y0  # prior mean is zero
+
+        z_pde, H_pde, E_bc = _evaluate_ode_dense(
+            L=pde.L,
+            B=pde.B,
+            E_sqrtm=pde.E_sqrtm,
+            R_sqrtm=pde.R_sqrtm,
+            f=f,
+            df=df,
+            linear=self.LINEAR,
+            E0=self.E0,
+            E1=self.E1,
+            m_flat=m0_flat,
+            t=pde.t0,
+        )
+        nugget_pde = 1e-10 * jnp.eye(d + pde.B.shape[0])
+        C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_y0, E_bc + nugget_pde)
+        m0 = m0_flat - kgain @ z_pde
+
+        y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
+        return pdefilter.PDEFilterState(
+            t=jnp.asarray(pde.t0, dtype=m0.dtype),
+            y=y,
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=jnp.zeros((), dtype=m0.dtype),
+        )
+
+    def _step_function(self, pde):
+        return self._step_fn
+
+    def attempt_step(self, state, dt, pde):
+        mean, cov, error, reference, diff_sq = self._step_fn(
+            state.y.mean, state.y.cov_sqrtm, state.t + dt, jnp.asarray(dt)
+        )
+        new_state = pdefilter.PDEFilterState(
+            t=state.t + dt,
+            y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov),
+            error_estimate=error,
+            reference_state=reference,
+            diffusion_squared_local=diff_sq,
+        )
+        return new_state, dict(num_f_evaluations=1, num_df_evaluations=1)
+
+
+class LinearWhiteNoiseEK1(_WhiteNoiseEK1Base):
+    """EK1 for linear evolution equations (Jx = L exactly)."""
+
+    LINEAR = True
+
+
+class SemiLinearWhiteNoiseEK1(_WhiteNoiseEK1Base):
+    """EK1 for semilinear evolution equations u_t = L u + f(u)."""
+
+    LINEAR = False

@@ -1,0 +1,97 @@
+"""Exact-value tests: QR-based sqrt ops vs naive dense covariance algebra."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnmol_tpu.ops import sqrt
+
+
+def _random_spd_factor(key, n):
+    w = jax.random.normal(key, (n, n))
+    return jnp.linalg.cholesky(w @ w.T + n * jnp.eye(n))
+
+
+@pytest.fixture(params=[(5, 5), (7, 3)], ids=["square", "rect"])
+def shapes(request):
+    return request.param
+
+
+@pytest.fixture
+def operands(shapes):
+    d_in, d_out = shapes
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(42), 4)
+    SC = _random_spd_factor(k1, d_in)
+    SQ = _random_spd_factor(k2, d_in)
+    H = jax.random.normal(k3, (d_out, d_in))
+    R = _random_spd_factor(k4, d_out)
+    return SC, SQ, H, R
+
+
+def test_propagate_cholesky_factor(operands):
+    SC, SQ, *_ = operands
+    prop = sqrt.propagate_cholesky_factor(SC, SQ)
+    assert jnp.allclose(prop @ prop.T, SC @ SC.T + SQ @ SQ.T)
+    # lower triangular up to signs
+    assert jnp.allclose(jnp.triu(prop, 1), 0.0)
+
+
+def test_sqrtm_to_cholesky():
+    St = jax.random.normal(jax.random.PRNGKey(1), (9, 4))
+    L = sqrt.sqrtm_to_cholesky(St)
+    assert L.shape == (4, 4)
+    assert jnp.allclose(L @ L.T, St.T @ St)
+
+
+def test_update_sqrt_matches_dense_formulas(operands):
+    SC, _, H, R = operands
+    C = SC @ SC.T
+    S_dense = H @ C @ H.T + R @ R.T
+    K_dense = C @ H.T @ jnp.linalg.inv(S_dense)
+    Cnew_dense = C - K_dense @ S_dense @ K_dense.T
+
+    Cl_new, K, Sl = sqrt.update_sqrt(H, SC, R)
+
+    assert jnp.allclose(Sl @ Sl.T, S_dense)
+    assert jnp.allclose(K, K_dense)
+    assert jnp.allclose(Cl_new @ Cl_new.T, Cnew_dense, atol=1e-10)
+    assert jnp.allclose(jnp.triu(Cl_new, 1), 0.0)
+    assert jnp.allclose(jnp.triu(Sl, 1), 0.0)
+
+
+def test_update_sqrt_no_meascov_matches_dense(operands):
+    SC, _, H, _ = operands
+    C = SC @ SC.T
+    S_dense = H @ C @ H.T
+    K_dense = C @ H.T @ jnp.linalg.inv(S_dense)
+    Cnew_dense = C - K_dense @ S_dense @ K_dense.T
+
+    Cl_new, K, Sl = sqrt.update_sqrt_no_meascov(H, SC)
+    assert jnp.allclose(Sl @ Sl.T, S_dense)
+    assert jnp.allclose(K, K_dense)
+    assert jnp.allclose(Cl_new @ Cl_new.T, Cnew_dense, atol=1e-10)
+
+
+def test_product_form_equals_explicit(operands):
+    SC, _, H, R = operands
+    a = sqrt.update_sqrt(H, SC, R)
+    b = sqrt.update_sqrt_from_products(H @ SC, SC, R)
+    for x, y in zip(a, b):
+        assert jnp.allclose(x, y)
+
+
+def test_batched_variants(operands):
+    SC, SQ, H, _ = operands
+    SCs = jnp.stack([SC, 2 * SC])
+    SQs = jnp.stack([SQ, 0.5 * SQ])
+    props = sqrt.batched_propagate_cholesky_factor(SCs, SQs)
+    for i, (a, b) in enumerate(zip(SCs, SQs)):
+        assert jnp.allclose(props[i], sqrt.propagate_cholesky_factor(a, b))
+
+    Hs = jnp.stack([H, -H])
+    covs, gains, innovs = sqrt.batched_update_sqrt(Hs, SCs)
+    for i in range(2):
+        c, k, s = sqrt.update_sqrt_no_meascov(Hs[i], SCs[i])
+        assert jnp.allclose(covs[i], c)
+        assert jnp.allclose(gains[i], k)
+        assert jnp.allclose(innovs[i], s)
