@@ -58,7 +58,10 @@ def fd_coefficients(x, neighbors, k, L_k, LL_k, nugget_gram_matrix=0.0):
         lk_at_x = jnp.nan_to_num(lk_at_x, nan=lk_zero)
         llk_at_x = jnp.nan_to_num(llk_at_x, nan=llk_zero)
 
-    weights = jnp.linalg.solve(gram, lk_at_x)
+    # Gram matrices are SPD: Cholesky solve (TPU supports it in all dtypes,
+    # unlike LU) — falls back to the pseudo-stable path only through nuggets.
+    chol = jnp.linalg.cholesky(gram)
+    weights = jax.scipy.linalg.cho_solve((chol, True), lk_at_x)
     uncertainty = llk_at_x - weights @ lk_at_x
     return weights, uncertainty
 
@@ -184,7 +187,8 @@ def collocation_global(
     gram_Lk = L_kx(points, points.T)
     gram_LLk = LL_kx(points, points.T)
 
-    D = jnp.linalg.solve(gram_k, gram_Lk.T).T
+    chol_k = jnp.linalg.cholesky(gram_k)
+    D = jax.scipy.linalg.cho_solve((chol_k, True), gram_Lk.T).T
     E = gram_LLk - D @ gram_Lk.T
     if symmetrize_cholesky_E:
         E = 0.5 * (E + E.T)

@@ -68,7 +68,8 @@ def sharded_collocation_global(
         gram_k = kernel(rows, full.T) + nugget_gram_matrix * jnp.eye(N, dtype=rows.dtype)
         gram_Lk = L_kx(rows, full.T)
         gram_LLk = LL_kx(rows, full.T)
-        D = jnp.linalg.solve(gram_k, gram_Lk.T).T
+        chol_k = jnp.linalg.cholesky(gram_k)
+        D = jax.scipy.linalg.cho_solve((chol_k, True), gram_Lk.T).T
         E = gram_LLk - D @ gram_Lk.T
         if symmetrize_cholesky_E:
             E = 0.5 * (E + E.T)

@@ -100,10 +100,14 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         z_bc = cache.B @ m_at
         z = jnp.concatenate((z_ode, z_bc))
 
-        # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system
+        # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system.
+        # S is SPD: solve via Cholesky (TPU-friendly; LU is not supported in
+        # f64 on TPU and slower in any case).
         HQl = apply_H(cache.Ql)
         S = HQl @ HQl.T + cache.E_bc_sqrtm @ cache.E_bc_sqrtm.T
-        sigma_squared = z @ jnp.linalg.solve(S, z) / m_dim
+        S_chol = jnp.linalg.cholesky(S)
+        whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
+        sigma_squared = z @ whitened / m_dim
         error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
         error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
 
