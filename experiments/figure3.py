@@ -1,0 +1,175 @@
+"""Figure 3: dt x dx convergence/calibration grid on the SIR system.
+
+Reproduces ``/root/reference/experiments/figure3.py``: for each (dx, dt)
+cell solve the SIR reaction-diffusion system with the PNMOL white-noise EK1
+and the MOL baseline, compare against a high-resolution reference at tmax,
+and record RMSE (abs/rel), mean std, chi^2 calibration, and wall-clock time.
+
+TPU-first deltas: the PNMOL solver runs its fully-jitted scan loop (the
+reference disables jit here, ``figure3.py:44,72``), and the reference
+solution comes from the in-house DP5 integrator.
+
+Usage: python experiments/figure3.py [--fast] [--no-plot]
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+import pnmol_tpu
+from pnmol_tpu.odetools import ek1 as ek1_module
+from pnmol_tpu.odetools import init as init_module
+from pnmol_tpu.odetools import reference_solver
+from pnmol_tpu.odetools import step as step_module
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+import common
+
+FAST = "--fast" in sys.argv
+
+# Grids (reference: figure3.py:128-130)
+DTS = np.asarray(2.0 ** np.arange(2, -7, step=-0.5))
+DXS = 1.0 / (2.0 ** np.arange(2, 7))
+if FAST:
+    DTS = DTS[::4]
+    DXS = DXS[:2]
+
+HIGH_RES_FACTOR_DX = 10
+NUM_DERIVATIVES = 1
+STENCIL_SIZE = 3
+T0, TMAX = 0.0, 1.0 if FAST else 6.0
+DIFFUSION_RATE = 0.035
+
+PRIOR_KERNEL = pnmol_tpu.kernels.duplicate(
+    pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(), num=3
+)
+
+
+def make_sir(dx, stencil_boundary):
+    return pnmol_tpu.pde.examples.sir_1d_discretized(
+        t0=T0,
+        tmax=TMAX,
+        dx=dx,
+        stencil_size_interior=STENCIL_SIZE,
+        stencil_size_boundary=stencil_boundary,
+        diffusion_rate_S=DIFFUSION_RATE,
+        diffusion_rate_I=DIFFUSION_RATE,
+        diffusion_rate_R=DIFFUSION_RATE,
+        kernel=pnmol_tpu.kernels.SquareExponential(),
+    )
+
+
+def solve_reference(dx):
+    """High-res ground truth at tmax: susceptible compartment, coarse interior."""
+    pde_ref = make_sir(dx / HIGH_RES_FACTOR_DX, STENCIL_SIZE + 1)
+    ivp = pde_ref.to_ivp()
+    sol = reference_solver.solve_ivp_dopri5(
+        jax.jit(ivp.f),
+        ivp.t_span,
+        ivp.y0,
+        t_eval=jnp.asarray([pde_ref.tmax]),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+    mean = sol.y[-1]
+    i_mean = jnp.split(mean, 3)[0]
+    return i_mean[HIGH_RES_FACTOR_DX - 1 :: HIGH_RES_FACTOR_DX]
+
+
+def solve_white(pde, dt):
+    solver = pnmol_tpu.white.SemiLinearWhiteNoiseEK1(
+        num_derivatives=NUM_DERIVATIVES,
+        steprule=step_module.Constant(dt),
+        spatial_kernel=PRIOR_KERNEL,
+    )
+    (final, _), elapsed = common.timed(solver.simulate_final_state, pde)
+    E0 = solver.iwp.projection_matrix(0)
+    mean, std, cov = common.final_mean_std_cov(final, E0)
+    # susceptible compartment, interior points (consistently S for mean, std,
+    # AND cov — the reference mixes the S mean with the I covariance block,
+    # figure3.py:52-58, which looks unintended)
+    i_mean = jnp.split(mean, 3)[0][1:-1]
+    i_std = jnp.split(std, 3)[0][1:-1]
+    blocks = [jnp.split(row, 3, axis=1) for row in jnp.split(cov, 3, axis=0)]
+    i_cov = blocks[0][0][1:-1, 1:-1]
+    return i_mean, i_std, i_cov, elapsed
+
+
+def solve_mol(pde, dt):
+    ivp = pde.to_ivp()
+    solver = ek1_module.ReferenceEK1ConstantDiffusion(
+        num_derivatives=NUM_DERIVATIVES,
+        steprule=step_module.Constant(dt),
+        initialization=init_module.Stack(use_df=False),
+    )
+    (final, _), elapsed = common.timed(solver.simulate_final_state, ivp)
+    E0 = solver.iwp.projection_matrix(0)
+    mean, std, cov = common.final_mean_std_cov(final, E0)
+    # the IVP state is already boundary-free: split into species, take S
+    i_mean = jnp.split(mean, 3)[0]
+    i_std = jnp.split(std, 3)[0]
+    blocks = [jnp.split(row, 3, axis=1) for row in jnp.split(cov, 3, axis=0)]
+    return i_mean, i_std, blocks[0][0], elapsed
+
+
+def empty_result():
+    shape = (len(DXS), len(DTS))
+    return {
+        k: np.zeros(shape)
+        for k in ("error_abs", "error_rel", "std", "runtime", "chi2", "dt", "dx")
+    }
+
+
+def main():
+    result_white, result_mol = empty_result(), empty_result()
+
+    for i_dx, dx in enumerate(sorted(DXS)):
+        pde = make_sir(dx, STENCIL_SIZE + 2)
+        # susceptible reference restricted to interior for MOL comparison
+        ref = solve_reference(dx)
+        for i_dt, dt in enumerate(sorted(DTS)):
+            print(f"dx={dx:.4f} dt={dt:.4f} (d={pde.y0.size})")
+
+            m_w, s_w, c_w, t_w = solve_white(pde, dt)
+            err_w = jnp.abs(m_w - ref)
+            result_white["error_abs"][i_dx, i_dt] = common.rmse(err_w)
+            result_white["error_rel"][i_dx, i_dt] = common.rmse(err_w, ref)
+            result_white["std"][i_dx, i_dt] = jnp.mean(s_w)
+            result_white["runtime"][i_dx, i_dt] = t_w
+            result_white["chi2"][i_dx, i_dt] = common.chi2_statistic(err_w, c_w)
+            result_white["dt"][i_dx, i_dt] = dt
+            result_white["dx"][i_dx, i_dt] = dx
+
+            m_m, s_m, c_m, t_m = solve_mol(pde, dt)
+            err_m = jnp.abs(m_m - ref)
+            result_mol["error_abs"][i_dx, i_dt] = common.rmse(err_m)
+            result_mol["error_rel"][i_dx, i_dt] = common.rmse(err_m, ref)
+            result_mol["std"][i_dx, i_dt] = jnp.mean(s_m)
+            result_mol["runtime"][i_dx, i_dt] = t_m
+            result_mol["chi2"][i_dx, i_dt] = common.chi2_statistic(err_m, c_m)
+            result_mol["dt"][i_dx, i_dt] = dt
+            result_mol["dx"][i_dx, i_dt] = dx
+
+            print(
+                f"  white: rmse_rel={result_white['error_rel'][i_dx, i_dt]:.3e} "
+                f"chi2={result_white['chi2'][i_dx, i_dt]:.3e} t={t_w:.2f}s | "
+                f"mol: rmse_rel={result_mol['error_rel'][i_dx, i_dt]:.3e} "
+                f"chi2={result_mol['chi2'][i_dx, i_dt]:.3e} t={t_m:.2f}s"
+            )
+
+    common.save_arrays("figure3", "pnmol_white", **result_white)
+    common.save_arrays("figure3", "tornadox", **result_mol)
+
+    if "--no-plot" not in sys.argv:
+        import plotting
+
+        plotting.figure_3()
+
+
+if __name__ == "__main__":
+    main()

@@ -200,4 +200,7 @@ def mle_input_scale(*, mesh_points, data, kernel_type, input_scale_trials):
         static_argnames=(),
     )
     values = sweep(jnp.asarray(input_scale_trials))
+    # Singular Grams (tiny scales) produce NaN likelihoods; mask them out so
+    # argmax picks the best *valid* trial.
+    values = jnp.where(jnp.isnan(values), -jnp.inf, values)
     return input_scale_trials[jnp.argmax(values)]

@@ -48,6 +48,30 @@ def test_solve_no_nans(solver_cls, problem_fn, bcond):
     assert float(sol.t[-1]) == pytest.approx(pde.tmax)
 
 
+def test_system_solvers_no_nans():
+    """PDE systems through the PNMOL solvers — the path the reference leaves
+    known-broken (its system smoke tests are disabled with a 'solver
+    concatenation breaks' note, ``tests/test_pdefilter.py:111-138``). This
+    build supports it: block-diagonal spatial priors via ``duplicate``."""
+    sir = examples.sir_1d_discretized(dx=0.25, tmax=0.3)
+    k3 = kernels.duplicate(kernels.Matern52() + kernels.WhiteNoise(), num=3)
+    solver = white.SemiLinearWhiteNoiseEK1(
+        num_derivatives=1, steprule=step.Constant(dt=0.1), spatial_kernel=k3
+    )
+    sol = solver.solve(sir)
+    assert not jnp.any(jnp.isnan(sol.mean))
+    assert not jnp.any(jnp.isnan(sol.cov_sqrtm))
+
+    lv = examples.lotka_volterra_1d_discretized(dx=0.25, tmax=0.3)
+    k2 = kernels.duplicate(kernels.Matern52() + kernels.WhiteNoise(), num=2)
+    solver_latent = latent.SemiLinearLatentForceEK1(
+        num_derivatives=2, steprule=step.Constant(dt=0.1), spatial_kernel=k2
+    )
+    sol_latent = solver_latent.solve(lv)
+    assert not jnp.any(jnp.isnan(sol_latent.mean))
+    assert not jnp.any(jnp.isnan(sol_latent.cov_sqrtm))
+
+
 def test_solution_generator_matches_scan_solve():
     """The jitted scan path and the Python generator path must agree."""
     pde = _heat("dirichlet")
