@@ -79,8 +79,9 @@ def make_ek1_step_fn(*, f, df, num_derivatives: int, dtype):
         Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
         m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
-        # local diffusion + error estimate (constant-diffusion calibration)
-        residual_white = jax.scipy.linalg.solve_triangular(Sl.T, z, lower=False)
+        # local diffusion + error estimate (constant-diffusion calibration);
+        # lower solve = true Mahalanobis (see note in pnmol_tpu.solvers.white)
+        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
         sigma_sq_local = residual_white @ residual_white / d
         error = jnp.sqrt(jnp.sum(Sl**2, axis=1)) * jnp.sqrt(sigma_sq_local) * dt
 

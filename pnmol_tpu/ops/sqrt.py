@@ -118,6 +118,39 @@ def update_sqrt_no_meascov(transition_matrix, cov_cholesky):
     return update_sqrt_no_meascov_from_products(HC, cov_cholesky)
 
 
+@jax.jit
+def fused_predict_update(HACl, ACl, HQl, Ql, meascov_sqrtm):
+    """Combined predict + update in ONE QR (the classical pre-array form).
+
+    For predicted covariance P = (A Cl)(A Cl)^T + Ql Ql^T and measurement
+    (H, R), the QR of
+
+        [ (H A Cl)^T   (A Cl)^T ]
+        [ (H Ql)^T      Ql^T    ]        ((2D + m) x (m + D))
+        [  R^T           0      ]
+
+    has the Gram [[H P H^T + R R^T, H P], [P H^T, P]], so its upper factor
+    contains the innovation factor, the gain, and the posterior factor — the
+    same quantities the two-QR pipeline (propagate_cholesky_factor followed
+    by update_sqrt) produces, in a single MXU-friendly factorization with no
+    intermediate predicted factor materialized.
+
+    Returns (posterior_cov_factor (D, D), gain (D, m), innovation_factor (m, m)).
+    """
+    m, D = HACl.shape
+    top = jnp.concatenate((HACl.T, ACl.T), axis=1)  # (D, m + D)
+    mid = jnp.concatenate((HQl.T, Ql.T), axis=1)  # (D, m + D)
+    bottom = jnp.concatenate(
+        (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HACl.dtype)), axis=1
+    )
+    R = triu_qr(jnp.concatenate((top, mid, bottom), axis=0))
+    R1 = R[:m, :m]
+    R2 = R[:m, m:]
+    R3 = R[m:, m:]
+    gain = jax.scipy.linalg.solve_triangular(R1, R2, lower=False).T
+    return R3.T, gain, R1.T
+
+
 def batched_update_sqrt(batched_transition_matrix, batched_cov_cholesky):
     """vmap-batched noise-free updates (homogeneous shapes, unlike the
     reference's Python loop at ``sqrt.py:98-111``)."""

@@ -57,7 +57,7 @@ def _measurement_operator_latent(cache, G, p, n, d):
 
 def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
                         f: Optional[Callable], df: Optional[Callable],
-                        linear: bool):
+                        linear: bool, fused: bool = True):
     """Jitted latent-force EK1 attempt-step kernel.
 
     ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
@@ -94,17 +94,24 @@ def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
         z_bc = cache.B @ state_at
         z = jnp.concatenate((z_ode, z_bc))
 
-        # [Predict covariance] QR #1 over the doubled state
+        # [Predict + update covariance] (noise-free measurement)
         ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
-
-        # [Update] noise-free, product form
-        HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
+        if fused:
+            HACl = apply_H(ACl)
+            HQl = apply_H(cache.Ql)
+            zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
+            Cl_new, K, Sl = sqrt.fused_predict_update(
+                HACl, ACl, HQl, cache.Ql, zeros_R
+            )
+        else:
+            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
         m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
-        # [Calibrate]
-        residual_white = jax.scipy.linalg.solve_triangular(Sl.T, z, lower=False)
+        # [Calibrate] true Mahalanobis via the lower solve (sign-invariant;
+        # see the note in pnmol_tpu.solvers.white)
+        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
         diffusion_sq = residual_white @ residual_white / m_dim
 
         # [Un-precondition]

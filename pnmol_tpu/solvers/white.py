@@ -67,13 +67,18 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
 
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
-                       linear: bool):
+                       linear: bool, fused: bool = True):
     """Build the jitted white-noise EK1 attempt-step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
     (mean, cov, error_estimate (d,), reference (d,), diffusion_sq ())``
     with semantics identical to the reference ``attempt_step``
     (``/root/reference/src/pnmol/white.py:96-146``).
+
+    ``fused=True`` (default) runs predict+update as ONE pre-array QR
+    (:func:`pnmol_tpu.ops.sqrt.fused_predict_update`) — mathematically
+    identical Gram, fewer launches; ``fused=False`` keeps the reference's
+    two-QR pipeline (used by the oracle equivalence tests).
     """
     n = num_derivatives + 1
 
@@ -111,17 +116,28 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
         error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
 
-        # [Predict covariance] QR #1
+        # [Predict + update covariance]
         ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
-
-        # [Update] QR #2, product form
-        HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, cache.E_bc_sqrtm)
+        if fused:
+            # one pre-array QR; HQl is shared with the error estimate above
+            HACl = apply_H(ACl)
+            Cl_new, K, Sl = sqrt.fused_predict_update(
+                HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
+            )
+        else:
+            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            Cl_new, K, Sl = sqrt.update_sqrt_from_products(
+                HClp, Clp, cache.E_bc_sqrtm
+            )
         m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
-        # [Calibrate] local diffusion from the whitened residual
-        residual_white = jax.scipy.linalg.solve_triangular(Sl.T, z, lower=False)
+        # [Calibrate] local diffusion from the whitened residual: the true
+        # Mahalanobis form z^T S^{-1} z with S = Sl Sl^T, via the LOWER solve
+        # Sl w = z. (The reference solves against Sl^T — ``white.py:125`` —
+        # which yields z^T (R1 R1^T)^{-1} z instead and silently depends on
+        # the QR sign convention; the lower solve is invariant.)
+        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
         diffusion_sq = residual_white @ residual_white / m_dim
 
         # [Un-precondition]

@@ -80,6 +80,22 @@ def test_product_form_equals_explicit(operands):
         assert jnp.allclose(x, y)
 
 
+def test_fused_predict_update_equals_two_qr_pipeline(operands):
+    """One pre-array QR == propagate_cholesky_factor + update_sqrt."""
+    SC, SQ, H, R = operands
+    A = jax.random.normal(jax.random.PRNGKey(7), (SC.shape[0], SC.shape[0]))
+    ACl = A @ SC
+
+    Clp = sqrt.propagate_cholesky_factor(ACl, SQ)
+    cov2, gain2, innov2 = sqrt.update_sqrt(H, Clp, R)
+
+    cov1, gain1, innov1 = sqrt.fused_predict_update(H @ ACl, ACl, H @ SQ, SQ, R)
+
+    assert jnp.allclose(cov1 @ cov1.T, cov2 @ cov2.T, atol=1e-10)
+    assert jnp.allclose(gain1, gain2, atol=1e-10)
+    assert jnp.allclose(innov1 @ innov1.T, innov2 @ innov2.T, atol=1e-10)
+
+
 def test_batched_variants(operands):
     SC, SQ, H, _ = operands
     SCs = jnp.stack([SC, 2 * SC])
