@@ -16,7 +16,7 @@ from pnmol_tpu import config as _config
 
 _config.setup()
 
-from pnmol_tpu import diffops, discretize, kernels, mesh, ops
+from pnmol_tpu import diffops, discretize, kernels, mesh, ops, utils
 from pnmol_tpu import models
 from pnmol_tpu import models as pde  # reference-compatible alias: pnmol.pde
 from pnmol_tpu import odetools, parallel
@@ -35,6 +35,7 @@ __all__ = [
     "ops",
     "odetools",
     "parallel",
+    "utils",
     "pde",
     "pdefilter",
     "white",

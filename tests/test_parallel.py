@@ -1,0 +1,116 @@
+"""Multi-device layer: sharded linalg matches single-device; ensemble steps.
+
+Runs on the 8 virtual CPU devices forced by conftest (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnmol_tpu import diffops, discretize, kernels, mesh
+from pnmol_tpu.parallel import ensembles, meshes, sharded_linalg
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    return meshes.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def grid():
+    # 32 points tiles evenly over any space-axis size up to 8
+    return mesh.RectangularMesh.from_bbox_1d([0.0, 1.0], num=32)
+
+
+def test_make_mesh_shapes():
+    m = meshes.make_mesh(8)
+    assert set(m.axis_names) == {"batch", "space"}
+    assert m.devices.size == 8
+
+    m2 = meshes.make_mesh(8, batch=4)
+    assert dict(zip(m2.axis_names, m2.devices.shape)) == {"batch": 4, "space": 2}
+
+    with pytest.raises(ValueError):
+        meshes.make_mesh(8, batch=3)
+
+
+def test_sharded_gram_matches_local(device_mesh, grid):
+    kernel = kernels.SquareExponential(input_scale=2.0)
+    local = kernel(grid.points, grid.points.T)
+    sharded = sharded_linalg.sharded_gram(kernel, grid.points, device_mesh)
+    assert sharded.shape == local.shape
+    assert jnp.allclose(jnp.asarray(sharded), local)
+    # actually distributed: more than one shard
+    assert len(sharded.addressable_shards) > 1
+
+
+def test_sharded_collocation_matches_local(device_mesh, grid):
+    kwargs = dict(
+        kernel=kernels.SquareExponential(input_scale=2.0),
+        nugget_gram_matrix=1e-12,
+        nugget_cholesky_E=1e-10,
+        symmetrize_cholesky_E=True,
+    )
+    D_local, E_local = discretize.collocation_global(
+        diffops.laplace(), grid, **kwargs
+    )
+    D_shard, E_shard = sharded_linalg.sharded_collocation_global(
+        diffops.laplace(), grid, device_mesh, **kwargs
+    )
+    assert jnp.allclose(jnp.asarray(D_shard), D_local, atol=1e-8)
+    assert jnp.allclose(
+        jnp.asarray(E_shard) @ jnp.asarray(E_shard).T,
+        E_local @ E_local.T,
+        atol=1e-8,
+    )
+
+
+def test_ensemble_step_matches_sequential(device_mesh):
+    """Vmapped+sharded ensemble step == per-member sequential steps."""
+    from pnmol_tpu import pde as pde_module
+    from pnmol_tpu import white as _  # noqa: F401  (alias check)
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=0.25, tmax=1.0)
+    scales = [0.8, 1.0, 1.2, 1.4]
+    caches, means, covs, singles = [], [], [], []
+    for s in scales:
+        solver = white.LinearWhiteNoiseEK1(
+            steprule=step_module.Constant(0.05),
+            spatial_kernel=kernels.Matern52(input_scale=s) + kernels.WhiteNoise(),
+        )
+        state = solver.initialize(heat)
+        caches.append(solver._cache)
+        means.append(state.y.mean)
+        covs.append(state.y.cov_sqrtm)
+        singles.append(
+            solver._step_fn(
+                state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+            )
+        )
+
+    cache_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
+    batched_step = ensembles.make_ensemble_step_fn(
+        cache_batched=cache_b,
+        num_derivatives=2,
+        f=None,
+        df=None,
+        linear=True,
+        mesh=device_mesh,
+    )
+    with device_mesh:
+        out = batched_step(
+            cache_b,
+            jnp.stack(means),
+            jnp.stack(covs),
+            jnp.asarray(0.05),
+            jnp.asarray(0.05),
+        )
+    for i, single in enumerate(singles):
+        assert jnp.allclose(out[0][i], single[0], atol=1e-10)
+        assert jnp.allclose(
+            out[1][i] @ out[1][i].T, single[1] @ single[1].T, atol=1e-9
+        )
+        assert jnp.allclose(out[4][i], single[4], atol=1e-10)

@@ -1,0 +1,107 @@
+"""Aux subsystems: checkpoint roundtrip, NaN policing, configs, profiling."""
+
+import jax.numpy as jnp
+import pytest
+
+from pnmol_tpu import kernels
+from pnmol_tpu.models import examples
+from pnmol_tpu.odetools import step
+from pnmol_tpu.solvers import white
+from pnmol_tpu.utils import checkpoint, configs, debug, profiling
+
+PRIOR = kernels.Matern52() + kernels.WhiteNoise()
+
+
+@pytest.fixture(scope="module")
+def solved():
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.4)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.1), spatial_kernel=PRIOR
+    )
+    final, info = solver.simulate_final_state(pde)
+    return pde, solver, final
+
+
+def test_checkpoint_roundtrip(tmp_path, solved):
+    _, _, final = solved
+    path = tmp_path / "ckpt"
+    checkpoint.save_state(path, final, extra={"note": jnp.asarray(3.0)})
+    restored, extra = checkpoint.load_state(path)
+    assert jnp.allclose(restored.t, final.t)
+    assert jnp.allclose(restored.y.mean, final.y.mean)
+    assert jnp.allclose(restored.y.cov_sqrtm, final.y.cov_sqrtm)
+    assert jnp.allclose(extra["note"], 3.0)
+
+
+def test_checkpoint_resume_continues_solve(tmp_path, solved):
+    """Restore a state and keep stepping from it."""
+    pde, solver, final = solved
+    path = tmp_path / "resume"
+    checkpoint.save_state(path, final)
+    restored, _ = checkpoint.load_state(path)
+    mean, cov, *_ = solver._step_fn(
+        restored.y.mean, restored.y.cov_sqrtm, restored.t + 0.1, jnp.asarray(0.1)
+    )
+    assert not jnp.any(jnp.isnan(mean))
+
+
+def test_assert_finite():
+    debug.assert_finite({"a": jnp.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError):
+        debug.assert_finite({"a": jnp.array([1.0, jnp.nan])}, "bad")
+
+
+def test_debug_nans_context():
+    import jax
+
+    with debug.debug_nans(True):
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
+
+
+def test_configs_build_and_solve():
+    run = configs.RunConfig(
+        problem=configs.ProblemConfig(family="heat", dx=0.2, tmax=0.3),
+        solver=configs.SolverConfig(
+            method="white", linearity="linear", steprule="constant", dt=0.1
+        ),
+    )
+    pde, solver = run.build()
+    sol = solver.solve(pde)
+    debug.validate_solution(sol)
+
+
+def test_configs_system_family():
+    run = configs.RunConfig(
+        problem=configs.ProblemConfig(family="lotka_volterra", dx=0.25, tmax=0.2),
+        solver=configs.SolverConfig(
+            method="latent",
+            linearity="semilinear",
+            steprule="constant",
+            dt=0.1,
+            prior_duplicates=2,
+        ),
+    )
+    pde, solver = run.build()
+    sol = solver.solve(pde)
+    assert not jnp.any(jnp.isnan(sol.mean))
+
+
+def test_flop_accounting():
+    flops = profiling.white_step_flops(d=256, nu=2, b=2)
+    assert flops > 0
+    gflops = profiling.steps_per_sec_to_gflops(500.0, d=256, nu=2, b=2)
+    assert gflops > 1.0  # ~GFLOP-scale per step at this size
+
+
+def test_timer_and_time_blocked(solved):
+    pde, solver, final = solved
+    out, elapsed = profiling.time_blocked(
+        solver._step_fn,
+        final.y.mean,
+        final.y.cov_sqrtm,
+        jnp.asarray(0.5),
+        jnp.asarray(0.1),
+        repeats=2,
+    )
+    assert elapsed > 0.0
