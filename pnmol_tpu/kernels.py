@@ -87,10 +87,21 @@ def _sqdist(x, y):
 
 @dataclasses.dataclass(frozen=True)
 class RadialKernel(PairwiseKernel):
-    r"""k(x, y) = output_scale^2 * phi(||x - y|| * input_scale)."""
+    r"""k(x, y) = output_scale^2 * phi(||x - y|| * input_scale).
+
+    Gram evaluation fast path: radial kernels assemble their full Gram matrix
+    through the MXU distance trick (|x|^2 + |y|^2 - 2 x.y fused with the
+    radial profile) — a tiled Pallas kernel on TPU for large N, a vectorized
+    jnp version elsewhere (see :mod:`pnmol_tpu.ops.pallas_gram`). The
+    pairwise form remains the autodiff surface for the discretization layer.
+    """
 
     input_scale: float = 1.0
     output_scale: float = 1.0
+
+    # subclass marker for the fused Gram path (None disables it)
+    _PHI_NAME = None
+    _PALLAS_MIN_ELEMS = 512 * 512
 
     @property
     def input_scale_squared(self):
@@ -100,9 +111,49 @@ class RadialKernel(PairwiseKernel):
     def output_scale_squared(self):
         return self.output_scale**2
 
+    def __call__(self, X, Y):
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y)
+        if (
+            self._PHI_NAME is not None
+            and X.ndim == 2
+            and Y.ndim == 2
+            and X.shape != Y.shape
+            and X.shape[1] == Y.shape[0]
+        ):
+            # Full-Gram convention: callers pass (X, Y.T).
+            from pnmol_tpu.ops import pallas_gram
+
+            points_y = Y.T
+            static_scales = isinstance(self.input_scale, (int, float)) and isinstance(
+                self.output_scale, (int, float)
+            )
+            if (
+                static_scales
+                and jax.default_backend() == "tpu"
+                and X.shape[0] * points_y.shape[0] >= self._PALLAS_MIN_ELEMS
+            ):
+                return pallas_gram.gram_radial(
+                    X,
+                    points_y,
+                    self.input_scale,
+                    self.output_scale,
+                    phi_name=self._PHI_NAME,
+                )
+            return pallas_gram.gram_fast_jnp(
+                X,
+                points_y,
+                self.input_scale,
+                self.output_scale,
+                phi_name=self._PHI_NAME,
+            )
+        return _gram_dispatch(self.pairwise, X, Y)
+
 
 @dataclasses.dataclass(frozen=True)
 class SquareExponential(RadialKernel):
+    _PHI_NAME = "squared_exponential"
+
     def pairwise(self, x, y):
         r2 = _sqdist(x, y) * self.input_scale_squared
         return self.output_scale_squared * jnp.exp(-r2 / 2.0)
@@ -112,6 +163,8 @@ class SquareExponential(RadialKernel):
 class Matern52(RadialKernel):
     """Matern(5/2). Not twice differentiable at x = y; the discretization layer
     patches the removable singularity (see ``pnmol_tpu.discretize``)."""
+
+    _PHI_NAME = "matern52"
 
     def pairwise(self, x, y):
         r2 = _sqdist(x, y)
