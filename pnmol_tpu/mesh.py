@@ -7,9 +7,11 @@ boundary projection matrix.
 
 Host/device split (SURVEY.md §5): neighbor search runs once at problem
 *setup* and never in the step loop, so it lives on host. For moderate N a
-vectorized NumPy brute-force search is used (no KDTree build cost, exact,
-deterministic); above ``_KDTREE_CUTOVER`` points it switches to scipy's
-KDTree. Both return plain arrays that are then device-resident constants.
+vectorized NumPy brute-force search is used (no tree build cost, exact,
+deterministic); above ``_TREE_CUTOVER`` points it switches to the framework's
+native C++ KD-tree (``pnmol_tpu.native``, OpenMP-parallel queries — the role
+scipy's KDTree plays in the reference, ``mesh.py:16``). Results become
+device-resident constants.
 """
 
 import abc
@@ -18,23 +20,22 @@ from functools import cached_property
 import jax.numpy as jnp
 import numpy as np
 
-_KDTREE_CUTOVER = 4096
+_TREE_CUTOVER = 2048
 
 
 def _knn_host(points: np.ndarray, queries: np.ndarray, k: int):
     """Indices of the k nearest neighbors for each query point (host-side)."""
     n = points.shape[0]
     k = min(k, n)
-    if n <= _KDTREE_CUTOVER:
-        d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
-        idx = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
-        order = np.take_along_axis(d2, idx, axis=1).argsort(axis=1)
-        return np.take_along_axis(idx, order, axis=1)
-    import scipy.spatial
+    if n > _TREE_CUTOVER:
+        from pnmol_tpu import native
 
-    tree = scipy.spatial.KDTree(points)
-    _, idx = tree.query(queries, k=k)
-    return np.atleast_2d(idx)
+        idx, _ = native.knn(points, queries, k)
+        return idx
+    d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    idx = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+    order = np.take_along_axis(d2, idx, axis=1).argsort(axis=1)
+    return np.take_along_axis(idx, order, axis=1)
 
 
 class Mesh(abc.ABC):
