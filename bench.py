@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "256"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "64"))
+CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "8"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 NU = 2
 
@@ -53,7 +54,7 @@ def build(dtype):
     return step_fn, mean, cov
 
 
-def make_runner(step_fn, dtype):
+def make_runner(step_fn, dtype, num_steps):
     dt = jnp.asarray(1e-3, dtype)
 
     @jax.jit
@@ -63,17 +64,17 @@ def make_runner(step_fn, dtype):
             m, c, _, _, _ = step_fn(m, c, t, dt)
             return (m, c), None
 
-        ts = jnp.arange(1, NUM_STEPS + 1, dtype=dtype) * dt
+        ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
         (m, c), _ = jax.lax.scan(body, (mean, cov), ts)
         return m, c
 
     return run
 
 
-def measure(step_fn, mean, cov, dtype, device):
+def measure(step_fn, mean, cov, dtype, device, num_steps):
     mean = jax.device_put(mean, device)
     cov = jax.device_put(cov, device)
-    run = make_runner(step_fn, dtype)
+    run = make_runner(step_fn, dtype, num_steps)
     out = run(mean, cov)  # compile + warmup
     jax.block_until_ready(out)
     best = float("inf")
@@ -82,7 +83,7 @@ def measure(step_fn, mean, cov, dtype, device):
         out = run(mean, cov)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return NUM_STEPS / best
+    return num_steps / best
 
 
 def main():
@@ -91,15 +92,17 @@ def main():
     cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else accel
 
     # Device (f32) measurement.
-    step_f32, mean64, cov64 = build(jnp.float32)
-    mean32, cov32 = mean64, cov64
-    device_sps = measure(step_f32, mean32, cov32, jnp.float32, accel)
+    step_f32, mean32, cov32 = build(jnp.float32)
+    device_sps = measure(step_f32, mean32, cov32, jnp.float32, accel, NUM_STEPS)
 
     # CPU float64 oracle (reference platform + precision).
     with jax.default_device(cpu):
         step_f64, mean_f64, cov_f64 = build(jnp.float64)
-        cpu_sps = measure(step_f64, mean_f64, cov_f64, jnp.float64, cpu)
+        cpu_sps = measure(step_f64, mean_f64, cov_f64, jnp.float64, cpu, CPU_STEPS)
 
+    from pnmol_tpu.utils import profiling
+
+    gflops = profiling.steps_per_sec_to_gflops(device_sps, d=N_POINTS, nu=NU, b=2)
     print(
         json.dumps(
             {
@@ -113,6 +116,7 @@ def main():
                     "grid_points": N_POINTS,
                     "state_dim": N_POINTS * (NU + 1),
                     "num_steps": NUM_STEPS,
+                    "sqrt_kalman_gflops_per_sec": round(gflops, 2),
                 },
             }
         )

@@ -59,6 +59,18 @@ class Mesh(abc.ABC):
     def interior(self):
         raise NotImplementedError
 
+    def sort(self):
+        """Reorder points as [interior; boundary] in place (reference:
+        ``mesh.py:32-41``)."""
+        interior_pts, _, _ = self.interior
+        boundary_pts, _, _ = self.boundary
+        self.points = jnp.concatenate((interior_pts, boundary_pts), axis=0)
+        self._points_host = np.asarray(self.points)
+        # invalidate cached classifications
+        for attr in ("boundary", "interior", "_boundary_mask_host",
+                     "boundary_projection_matrix"):
+            self.__dict__.pop(attr, None)
+
     def __len__(self):
         return len(self.points)
 

@@ -97,6 +97,62 @@ def heat_1d_discretized(
     return heat
 
 
+def heat_2d(
+    *, bbox=None, t0=0.0, tmax=5.0, y0_fun=None, diffusion_rate=0.05
+):
+    """2-D heat equation with Dirichlet boundaries.
+
+    Beyond the reference's model zoo (its recipes are all 1-D): the scale
+    configuration of BASELINE.md ("2-D diffusion N=1e4") needs a 2-D problem;
+    the generic discretization path (bbox classification + k-NN stencils)
+    already supports it.
+    """
+    if bbox is None:
+        bbox = [[0.0, 1.0], [0.0, 1.0]]
+    bbox = jnp.asarray(bbox)
+
+    if y0_fun is None:
+
+        def y0_fun(x):
+            bump = jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+            return bump[..., None]
+
+    return problems.LinearEvolutionDirichlet(
+        diffop=diffops.laplace(),
+        diffop_scale=diffusion_rate,
+        bbox=bbox,
+        t0=t0,
+        tmax=tmax,
+        y0_fun=y0_fun,
+    )
+
+
+def heat_2d_discretized(
+    *,
+    bbox=None,
+    num_points=(12, 12),
+    stencil_size_interior=9,
+    stencil_size_boundary=5,
+    t0=0.0,
+    tmax=5.0,
+    y0_fun=None,
+    diffusion_rate=0.05,
+    nugget_gram_matrix_fd=1e-12,
+    kernel=None,
+):
+    heat = heat_2d(
+        bbox=bbox, t0=t0, tmax=tmax, y0_fun=y0_fun, diffusion_rate=diffusion_rate
+    )
+    heat.discretize(
+        mesh_spatial=mesh.RectangularMesh.from_bbox_2d(heat.bbox, nums=num_points),
+        kernel=kernel if kernel is not None else kernels.SquareExponential(),
+        stencil_size_interior=stencil_size_interior,
+        stencil_size_boundary=stencil_size_boundary,
+        nugget_gram_matrix=nugget_gram_matrix_fd,
+    )
+    return heat
+
+
 # ---------------------------------------------------------------------------
 # SIR reaction-diffusion system (3 species, semilinear)
 # ---------------------------------------------------------------------------
