@@ -1,0 +1,63 @@
+"""float32 numerical health of the solvers (the TPU MXU precision path).
+
+The bench and TPU deployments run the step loop in f32; these tests pin down
+that the sqrt-filter stays finite and accurate enough in single precision.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnmol_tpu import kernels
+from pnmol_tpu.models import examples
+from pnmol_tpu.odetools import step
+from pnmol_tpu.solvers import white
+
+
+@pytest.fixture
+def f32_mode():
+    jax.config.update("jax_enable_x64", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_white_step_f32_stays_finite_and_tracks_f64():
+    # f64 reference trajectory
+    heat = examples.heat_1d_discretized(dx=0.1, tmax=1.0)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Constant(0.05))
+    state = solver.initialize(heat)
+    cache64 = solver._cache
+
+    cache32 = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), cache64)
+    step32 = white.make_white_step_fn(
+        cache=cache32, num_derivatives=2, f=None, df=None, linear=True
+    )
+
+    mean64, cov64 = state.y.mean, state.y.cov_sqrtm
+    mean32 = mean64.astype(jnp.float32)
+    cov32 = cov64.astype(jnp.float32)
+    for k in range(20):
+        t_next = jnp.asarray(0.05 * (k + 1))
+        mean64, cov64, *_ = solver._step_fn(mean64, cov64, t_next, jnp.asarray(0.05))
+        mean32, cov32, *_ = step32(
+            mean32, cov32, t_next.astype(jnp.float32), jnp.asarray(0.05, jnp.float32)
+        )
+    assert bool(jnp.all(jnp.isfinite(mean32)))
+    assert bool(jnp.all(jnp.isfinite(cov32)))
+    rel = jnp.linalg.norm(mean32.astype(jnp.float64) - mean64) / jnp.linalg.norm(mean64)
+    assert float(rel) < 1e-4
+
+
+def test_solve_under_x32_mode(f32_mode):
+    """Whole pipeline (discretize + init + solve) in f32 default dtype."""
+    heat = examples.heat_1d_discretized(dx=0.2, tmax=0.4)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(0.1),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    sol = solver.solve(heat)
+    assert sol.mean.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(sol.mean)))
+    assert bool(jnp.all(jnp.isfinite(sol.cov_sqrtm)))
