@@ -32,9 +32,13 @@ import common
 
 FAST = "--fast" in sys.argv
 
-# Grids (reference: figure3.py:128-130)
+# Grids (reference: figure3.py:128-130). PNMOL_FIG3_DX_LEVELS caps the number
+# of mesh refinements (the finest reference levels need hours on one CPU core).
+import os
+
 DTS = np.asarray(2.0 ** np.arange(2, -7, step=-0.5))
 DXS = 1.0 / (2.0 ** np.arange(2, 7))
+DXS = DXS[: int(os.environ.get("PNMOL_FIG3_DX_LEVELS", len(DXS)))]
 if FAST:
     DTS = DTS[::4]
     DXS = DXS[:2]

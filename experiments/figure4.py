@@ -29,8 +29,14 @@ import common
 
 FAST = "--fast" in sys.argv
 
+import os
+
 PDE_KWARGS = {"t0": 0.0, "tmax": 1.0 if FAST else 6.0}
-DXS = [0.05] if FAST else [0.01, 0.05, 0.2]
+DXS = [0.01, 0.05, 0.2]
+if os.environ.get("PNMOL_FIG4_DXS"):
+    DXS = [float(v) for v in os.environ["PNMOL_FIG4_DXS"].split(",")]
+if FAST:
+    DXS = [0.05]
 DTS = jnp.logspace(0.0, -2.5, 3 if FAST else 12, endpoint=True)
 REF_SCALE = 7
 NU = 2

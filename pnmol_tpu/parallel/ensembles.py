@@ -13,8 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pnmol_tpu.ops import iwp
-from pnmol_tpu.solvers.white import WhiteSolverCache, make_white_step_fn
+from pnmol_tpu.solvers.white import make_white_step_fn
 
 
 class EnsembleState(NamedTuple):
@@ -25,15 +24,20 @@ class EnsembleState(NamedTuple):
     diffusion_sum: jnp.ndarray  # (E,)
 
 
-def make_ensemble_step_fn(*, cache_batched: WhiteSolverCache, num_derivatives,
-                          f, df, linear, mesh=None):
+def stack_caches(caches):
+    """Stack per-member solver caches into one batched cache pytree."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
+
+
+def make_ensemble_step_fn(*, num_derivatives, f, df, linear, mesh=None):
     """Vmapped white-noise step over a batch of solver caches.
 
-    ``cache_batched`` holds per-member arrays with a leading ensemble axis
-    (e.g. different Gram Cholesky factors in ``Ql``). With ``mesh`` given, the
-    ensemble axis is sharded over the mesh's 'batch' axis so each device
-    advances its members independently — no cross-device communication in the
-    step.
+    The returned function takes ``(cache_batched, mean, cov, t_next, dt)``
+    where ``cache_batched`` (see :func:`stack_caches`) holds per-member
+    arrays with a leading ensemble axis (e.g. different Gram Cholesky factors
+    in ``Ql``). With ``mesh`` given, the ensemble axis is sharded over the
+    mesh's 'batch' axis so each device advances its members independently —
+    no cross-device communication in the step.
     """
     def single(cache, mean, cov, t_next, dt):
         fn = make_white_step_fn(

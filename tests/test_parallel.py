@@ -97,9 +97,8 @@ def test_ensemble_step_matches_sequential(device_mesh):
             )
         )
 
-    cache_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
+    cache_b = ensembles.stack_caches(caches)
     batched_step = ensembles.make_ensemble_step_fn(
-        cache_batched=cache_b,
         num_derivatives=2,
         f=None,
         df=None,
