@@ -5,6 +5,6 @@ provides the TPU-native scaling equivalents: ``jax.sharding.Mesh`` helpers,
 sharded Gram assembly, and pjit-able ensemble parameter sweeps.
 """
 
-from pnmol_tpu.parallel import ensembles, meshes, sharded_linalg
+from pnmol_tpu.parallel import ensembles, meshes, sharded_filter, sharded_linalg
 
-__all__ = ["ensembles", "meshes", "sharded_linalg"]
+__all__ = ["ensembles", "meshes", "sharded_filter", "sharded_linalg"]

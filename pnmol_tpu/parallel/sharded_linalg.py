@@ -10,8 +10,49 @@ for the downstream solve/Cholesky under ``jit``.
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from pnmol_tpu.parallel import meshes
+
+
+def tsqr_r(stacked, mesh, axis="space"):
+    """Distributed tall-skinny QR (R factor only) over a row-sharded matrix.
+
+    The communication-avoiding scheme: each device QR-factorizes its local
+    row block, the (C, C) local R factors ride one all-gather over the mesh
+    axis, and a second small QR of the stacked R's yields the global R —
+    total communication one (P*C*C) all-gather instead of gathering the full
+    matrix. This is the scaling primitive for the sqrt-Kalman pre-arrays
+    (their Gram is all the filter needs, and R carries it exactly).
+
+    Requires local row count >= column count (true for the (2D+m) x (m+D)
+    pre-array when the axis has <= 2 groups, and for arbitrarily sharded
+    covariance stacks after blocking).
+    """
+    rows, cols = stacked.shape
+    axis_size = mesh.shape[axis]
+    if (rows // axis_size) < cols:
+        raise ValueError(
+            f"TSQR needs local rows ({rows}//{axis_size}) >= cols ({cols}); "
+            "use fewer shards or the dense path."
+        )
+
+    def local_qr(block):
+        r_local = jnp.linalg.qr(block, mode="r")  # (C, C)
+        gathered = jax.lax.all_gather(r_local, axis)  # (P, C, C)
+        return jnp.linalg.qr(gathered.reshape(-1, cols), mode="r")
+
+    fn = shard_map(
+        local_qr,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs=PartitionSpec(),
+        check_rep=False,
+    )
+    return fn(stacked)
 
 
 def sharded_gram(kernel, points, mesh):

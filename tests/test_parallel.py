@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from pnmol_tpu import diffops, discretize, kernels, mesh
-from pnmol_tpu.parallel import ensembles, meshes, sharded_linalg
+from pnmol_tpu.parallel import ensembles, meshes, sharded_filter, sharded_linalg
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +69,55 @@ def test_sharded_collocation_matches_local(device_mesh, grid):
         E_local @ E_local.T,
         atol=1e-8,
     )
+
+
+def test_tsqr_matches_dense_qr(device_mesh):
+    """Distributed TSQR R factor has the same Gram as the dense QR's R."""
+    import numpy as np
+
+    rows, cols = 256, 32  # 256/4 = 64 >= 32 local rows per 'space' shard
+    mat = jnp.asarray(np.random.default_rng(0).normal(size=(rows, cols)))
+    R_dist = sharded_linalg.tsqr_r(mat, device_mesh)
+    R_dense = jnp.linalg.qr(mat, mode="r")
+    assert R_dist.shape == (cols, cols)
+    assert jnp.allclose(R_dist.T @ R_dist, R_dense.T @ R_dense, atol=1e-9)
+
+
+def test_tsqr_rejects_short_blocks(device_mesh):
+    mat = jnp.ones((16, 32))
+    with pytest.raises(ValueError):
+        sharded_linalg.tsqr_r(mat, device_mesh)
+
+
+def test_space_sharded_white_step_matches_unsharded(device_mesh):
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    # 16 points * 3 derivs = 48 rows, divisible by the space axis (<=4)
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=1.0)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+    )
+
+    cache_sharded = sharded_filter.shard_cache(solver._cache, device_mesh)
+    sharded_step = sharded_filter.make_space_sharded_white_step(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh, linear=True
+    )
+    with device_mesh:
+        got = sharded_step(
+            state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+        )
+    assert jnp.allclose(got[0], expected[0], atol=1e-10)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-9
+    )
+    assert len(got[1].addressable_shards) > 1  # actually sharded output
 
 
 def test_ensemble_step_matches_sequential(device_mesh):
