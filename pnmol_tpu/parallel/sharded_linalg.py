@@ -50,7 +50,7 @@ def tsqr_r(stacked, mesh, axis="space"):
         mesh=mesh,
         in_specs=PartitionSpec(axis, None),
         out_specs=PartitionSpec(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(stacked)
 
