@@ -24,9 +24,13 @@ import time
 import jax
 import jax.numpy as jnp
 
-N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "256"))
-NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "64"))
-CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "8"))
+# Defaults measured on TPU v5e (single chip), f32 vs CPU f64 oracle:
+#   N=256:  554 steps/s,  55x,  1.9 TFLOP/s effective
+#   N=512:  188 steps/s, 121x,  5.0 TFLOP/s
+#   N=1024:  40 steps/s, 222x,  8.5 TFLOP/s
+N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
+NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
+CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 NU = 2
 

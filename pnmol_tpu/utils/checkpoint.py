@@ -53,7 +53,9 @@ def save_state(path, state: pdefilter.PDEFilterState, extra: dict | None = None)
         tree = {**tree, **{f"extra_{k}": v for k, v in extra.items()}}
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path.resolve(), {k: np.asarray(v) for k, v in tree.items()})
+        ckptr.save(
+            path.resolve(), {k: np.asarray(v) for k, v in tree.items()}, force=True
+        )
     else:
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(path.with_suffix(".npz"), **{k: np.asarray(v) for k, v in tree.items()})

@@ -7,7 +7,7 @@ from pnmol_tpu import kernels
 from pnmol_tpu.models import examples
 from pnmol_tpu.odetools import step
 from pnmol_tpu.solvers import white
-from pnmol_tpu.utils import checkpoint, configs, debug, profiling
+from pnmol_tpu.utils import checkpoint, configs, debug, profiling, resilience
 
 PRIOR = kernels.Matern52() + kernels.WhiteNoise()
 
@@ -92,6 +92,58 @@ def test_flop_accounting():
     assert flops > 0
     gflops = profiling.steps_per_sec_to_gflops(500.0, d=256, nu=2, b=2)
     assert gflops > 1.0  # ~GFLOP-scale per step at this size
+
+
+def test_solve_resilient_happy_path(tmp_path):
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05), spatial_kernel=PRIOR
+    )
+    final, report = resilience.solve_resilient(
+        solver, pde, checkpoint_dir=tmp_path / "ck", checkpoint_every=3
+    )
+    assert float(final.t) == pytest.approx(0.5)
+    assert report.num_steps == 10
+    assert report.num_failures == 0
+    assert report.num_checkpoints >= 3
+    # matches the plain driver
+    plain, _ = solver.simulate_final_state(pde)
+    assert jnp.allclose(final.y.mean, plain.y.mean, atol=1e-10)
+
+
+def test_solve_resilient_recovers_from_injected_nan(tmp_path):
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05), spatial_kernel=PRIOR
+    )
+
+    original_attempt = solver.attempt_step
+    fail_state = {"armed": True}
+
+    def flaky_attempt(state, dt, p):
+        new_state, info = original_attempt(state, dt, p)
+        if fail_state["armed"] and float(state.t) >= 0.2:
+            fail_state["armed"] = False
+            poisoned = new_state.y._replace(mean=new_state.y.mean * jnp.nan)
+            return new_state._replace(y=poisoned), info
+        return new_state, info
+
+    solver.attempt_step = flaky_attempt
+    final, report = resilience.solve_resilient(
+        solver, pde, checkpoint_dir=tmp_path / "ck", checkpoint_every=2
+    )
+    assert float(final.t) == pytest.approx(0.5)
+    assert report.num_failures == 1
+    assert report.num_restarts == 1
+    assert report.final_dt == pytest.approx(0.025)  # backed off once
+    assert bool(jnp.all(jnp.isfinite(final.y.mean)))
+
+
+def test_solve_resilient_requires_constant_steps(tmp_path):
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Adaptive(), spatial_kernel=PRIOR)
+    with pytest.raises(NotImplementedError):
+        resilience.solve_resilient(solver, pde, checkpoint_dir=tmp_path)
 
 
 def test_timer_and_time_blocked(solved):
