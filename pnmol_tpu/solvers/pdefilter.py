@@ -61,17 +61,20 @@ def _empty_info():
 
 
 def constant_step_schedule(t0, tmax, dt):
-    """Host-side step schedule for constant steps: the exact sequence the
-    incremental ``while t < tmax: dt = min(dt, tmax - t)`` loop would take."""
-    ts, dts = [], []
-    t = float(t0)
-    dt = float(dt)
-    while t < float(tmax):
-        this_dt = min(dt, float(tmax) - t)
-        ts.append(t)
-        dts.append(this_dt)
-        t = t + this_dt
-    return np.asarray(ts), np.asarray(dts)
+    """Host-side step schedule for constant steps, landing exactly on tmax.
+
+    Built in closed form rather than by incremental accumulation: float
+    accumulation can leave a residual step of ~1e-16, and a near-zero dt is
+    numerically *dangerous* here — the Nordsieck preconditioner scales by
+    ``dt^-(nu+1/2)``, so a 1e-16 step costs ~5 digits of precision.
+    """
+    t0, tmax, dt = float(t0), float(tmax), float(dt)
+    span = tmax - t0
+    num_steps = max(1, int(np.ceil(span / dt - 1e-12)))
+    ts = t0 + dt * np.arange(num_steps)
+    dts = np.full(num_steps, dt)
+    dts[-1] = tmax - ts[-1]
+    return ts, dts
 
 
 class PDEFilter(ABC):
@@ -156,7 +159,10 @@ class PDEFilter(ABC):
         dt = self.steprule.first_dt(pde)
         pbar = _make_progressbar(progressbar, pde.tmax)
 
-        while float(state.t) < float(pde.tmax):
+        # epsilon guard: a residual step of ~1e-16 would blow up the
+        # dt^-(nu+1/2) preconditioner (see constant_step_schedule)
+        t_eps = 1e-12 * max(1.0, abs(float(pde.tmax)))
+        while float(pde.tmax) - float(state.t) > t_eps:
             if pbar is not None:
                 pbar.advance_to(float(state.t), dt=float(dt))
             if time_stopper is not None:
