@@ -124,9 +124,23 @@ class PDEFilter(ABC):
 
     # -- public API ----------------------------------------------------------
 
-    def solve(self, pde, /, *, stop_at=None, progressbar=False):
+    def solve(self, pde, /, *, stop_at=None, progressbar=False, max_steps=None):
+        """Full-trajectory solve.
+
+        Constant steps run as one ``lax.scan``. Adaptive steps run through
+        the Python generator by default; passing ``max_steps`` opts into the
+        fully-jitted bounded-buffer ``lax.while_loop`` path instead (raises
+        if the solve needs more accepted steps than the buffer holds).
+        """
         if isinstance(self.steprule, step_module.Constant) and stop_at is None:
             return self._solve_constant_scan(pde, progressbar=progressbar)
+        if (
+            max_steps is not None
+            and stop_at is None
+            and isinstance(self.steprule, step_module.Adaptive)
+            and self.supports_adaptive_steps
+        ):
+            return self._solve_adaptive_whileloop(pde, max_steps=max_steps)
         return self._solve_generator(pde, stop_at=stop_at, progressbar=progressbar)
 
     def simulate_final_state(self, pde, /, *, stop_at=None, progressbar=False):
@@ -371,6 +385,83 @@ class PDEFilter(ABC):
             diffusion_squared_local=diffusion,
         )
         return final, info
+
+    def _solve_adaptive_whileloop(self, pde, *, max_steps):
+        """Adaptive full-trajectory solve in ONE lax.while_loop: accepted
+        states are written into preallocated buffers (no host sync per step)."""
+        state0 = self.initialize(pde)
+        dt0 = jnp.asarray(self.steprule.first_dt(pde))
+        step_fn = self._step_function(pde)
+        steprule = self.steprule
+        tmax = float(pde.tmax)
+        t_eps = 1e-12 * max(1.0, abs(tmax))
+        rate = self.num_derivatives + 1
+
+        mean0, cov0 = state0.y.mean, state0.y.cov_sqrtm
+        buf_t = jnp.zeros((max_steps + 1,), dtype=dt0.dtype).at[0].set(pde.t0)
+        buf_mean = jnp.zeros((max_steps + 1,) + mean0.shape, mean0.dtype).at[0].set(mean0)
+        buf_cov = jnp.zeros((max_steps + 1,) + cov0.shape, cov0.dtype).at[0].set(cov0)
+        buf_diff = jnp.zeros((max_steps + 1,), dtype=dt0.dtype)
+
+        def cond(carry):
+            t, *_, idx, _ = carry
+            return (tmax - t > t_eps) & (idx < max_steps)
+
+        def body(carry):
+            t, mean, cov, dt, bt, bm, bc, bd, idx, n_att = carry
+            new_mean, new_cov, error, ref, diff_sq = step_fn(mean, cov, t + dt, dt)
+            scaled = steprule.scale_error_estimate(dt * error, ref)
+            accepted = steprule.is_accepted(scaled)
+            suggested = steprule.suggest(dt, scaled, local_convergence_rate=rate)
+
+            t_new = jnp.where(accepted, t + dt, t)
+            mean_new = jnp.where(accepted, new_mean, mean)
+            cov_new = jnp.where(accepted, new_cov, cov)
+            idx_new = idx + accepted.astype(jnp.int32)
+            write = idx_new  # only moves when accepted
+            bt = bt.at[write].set(jnp.where(accepted, t_new, bt[write]))
+            bm = bm.at[write].set(jnp.where(accepted, mean_new, bm[write]))
+            bc = bc.at[write].set(jnp.where(accepted, cov_new, bc[write]))
+            bd = bd.at[write].set(jnp.where(accepted, diff_sq, bd[write]))
+            dt_new = jnp.minimum(suggested, tmax - t_new)
+            return (t_new, mean_new, cov_new, dt_new, bt, bm, bc, bd, idx_new, n_att + 1)
+
+        carry0 = (
+            jnp.asarray(pde.t0, dt0.dtype),
+            mean0,
+            cov0,
+            dt0,
+            buf_t,
+            buf_mean,
+            buf_cov,
+            buf_diff,
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+        t, _, _, _, bt, bm, bc, bd, idx, n_att = jax.lax.while_loop(cond, body, carry0)
+
+        num_steps = int(idx)
+        if tmax - float(t) > t_eps:
+            raise RuntimeError(
+                f"Adaptive solve needed more than max_steps={max_steps} accepted "
+                f"steps (reached t={float(t):.6g} of {tmax}); raise max_steps or "
+                "use simulate_final_state/solution_generator."
+            )
+        sl = slice(0, num_steps + 1)
+        info = dict(
+            num_f_evaluations=int(n_att),
+            num_df_evaluations=int(n_att),
+            num_df_diagonal_evaluations=0,
+            num_steps=num_steps,
+            num_attempted_steps=int(n_att),
+        )
+        return PDESolution(
+            t=bt[sl],
+            mean=bm[sl],
+            cov_sqrtm=bc[sl],
+            info=info,
+            diffusion_squared_calibrated=jnp.sum(bd) / max(num_steps, 1),
+        )
 
     def _solve_generator(self, pde, *, stop_at=None, progressbar=False):
         times, means, cov_sqrtms, diffusions = [], [], [], []

@@ -115,6 +115,32 @@ def test_adaptive_final_state_consistent_with_generator():
     )
 
 
+def test_adaptive_jit_solve_matches_generator():
+    """Opt-in bounded-buffer adaptive solve == Python generator trajectory."""
+    pde = _heat("dirichlet")
+
+    def make():
+        return white.LinearWhiteNoiseEK1(
+            steprule=step.Adaptive(abstol=1e-3, reltol=1e-3), spatial_kernel=PRIOR
+        )
+
+    sol_jit = make().solve(pde, max_steps=256)
+    sol_gen = make().solve(pde)
+    assert sol_jit.t.shape == sol_gen.t.shape
+    assert jnp.allclose(sol_jit.t, sol_gen.t, atol=1e-12)
+    assert jnp.allclose(sol_jit.mean, sol_gen.mean, atol=1e-9)
+    assert jnp.allclose(
+        sol_jit.diffusion_squared_calibrated,
+        sol_gen.diffusion_squared_calibrated,
+        rtol=1e-8,
+    )
+    assert sol_jit.info["num_steps"] == sol_gen.info["num_steps"]
+    assert sol_jit.info["num_attempted_steps"] == sol_gen.info["num_attempted_steps"]
+
+    with pytest.raises(RuntimeError):
+        make().solve(pde, max_steps=2)
+
+
 def test_latent_rejects_nothing_but_supports_constant_only():
     solver = latent.LinearLatentForceEK1(steprule=step.Constant(dt=0.1), spatial_kernel=PRIOR)
     assert not solver.supports_adaptive_steps
