@@ -17,6 +17,7 @@ kernel is therefore the same structured predict/QR/update pipeline as the
 white solver, with a latent-aware measurement operator.
 """
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -63,65 +64,79 @@ def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
     ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
     to the reference ``attempt_step`` (``latent.py:155-225``).
     """
+    return functools.partial(
+        latent_attempt_step,
+        cache,
+        num_derivatives=num_derivatives,
+        f=f,
+        df=df,
+        linear=linear,
+        fused=fused,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_derivatives", "f", "df", "linear", "fused")
+)
+def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
+                        f, df, linear, fused):
+    """One latent-force EK1 attempt step (module-level jit: compilations
+    shared across solver instances with the same shapes and statics)."""
     n = num_derivatives + 1
+    d = cache.L.shape[0]
+    m_dim = d + cache.B.shape[0]
+    p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
 
-    @jax.jit
-    def step(mean, cov_sqrtm, t_next, dt):
-        d = cache.L.shape[0]
-        m_dim = d + cache.B.shape[0]
-        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+    # [Precondition] (shared scales for state and latent halves)
+    M = mean * p_inv[:, None]
+    Cl = iwp.scale_stack(p_inv, cov_sqrtm)
 
-        # [Precondition] (shared scales for state and latent halves)
-        M = mean * p_inv[:, None]
-        Cl = iwp.scale_stack(p_inv, cov_sqrtm)
+    # [Predict mean]
+    Mp = cache.A1d @ M
 
-        # [Predict mean]
-        Mp = cache.A1d @ M
+    # [Linearize] at the predicted state half
+    state_at = p[0] * Mp[0, :d]
+    eps_at = p[0] * Mp[0, d:]
+    if linear:
+        G, shift = cache.L, jnp.zeros_like(state_at)
+    else:
+        fx = f(t_next, state_at)
+        Jx = df(t_next, state_at)
+        G, shift = Jx + cache.L, Jx @ state_at - fx
+    apply_H = _measurement_operator_latent(cache, G, p, n, d)
 
-        # [Linearize] at the predicted state half
-        state_at = p[0] * Mp[0, :d]
-        eps_at = p[0] * Mp[0, d:]
-        if linear:
-            G, shift = cache.L, jnp.zeros_like(state_at)
-        else:
-            fx = f(t_next, state_at)
-            Jx = df(t_next, state_at)
-            G, shift = Jx + cache.L, Jx @ state_at - fx
-        apply_H = _measurement_operator_latent(cache, G, p, n, d)
+    # [Residual] z = H mp + [shift; 0]
+    z_ode = p[1] * Mp[1, :d] - G @ state_at - eps_at + shift
+    z_bc = cache.B @ state_at
+    z = jnp.concatenate((z_ode, z_bc))
 
-        # [Residual] z = H mp + [shift; 0]
-        z_ode = p[1] * Mp[1, :d] - G @ state_at - eps_at + shift
-        z_bc = cache.B @ state_at
-        z = jnp.concatenate((z_ode, z_bc))
+    # [Predict + update covariance] (noise-free measurement)
+    ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+    if fused:
+        HACl = apply_H(ACl)
+        HQl = apply_H(cache.Ql)
+        zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
+        Cl_new, K, Sl = sqrt.fused_predict_update(
+            HACl, ACl, HQl, cache.Ql, zeros_R
+        )
+    else:
+        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
+    m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
-        # [Predict + update covariance] (noise-free measurement)
-        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-        if fused:
-            HACl = apply_H(ACl)
-            HQl = apply_H(cache.Ql)
-            zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
-            Cl_new, K, Sl = sqrt.fused_predict_update(
-                HACl, ACl, HQl, cache.Ql, zeros_R
-            )
-        else:
-            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
-            HClp = apply_H(Clp)
-            Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
-        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+    # [Calibrate] true Mahalanobis via the lower solve (sign-invariant;
+    # see the note in pnmol_tpu.solvers.white)
+    residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
+    diffusion_sq = residual_white @ residual_white / m_dim
 
-        # [Calibrate] true Mahalanobis via the lower solve (sign-invariant;
-        # see the note in pnmol_tpu.solvers.white)
-        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
-        diffusion_sq = residual_white @ residual_white / m_dim
+    # [Un-precondition]
+    M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+    C_new = iwp.scale_stack(p, Cl_new)
+    # Latent solvers carry no error estimate (constant steps only).
+    zero_err = jnp.zeros((d,), dtype=M_new.dtype)
+    return M_new, C_new, zero_err, jnp.abs(M_new[0, :d]), diffusion_sq
 
-        # [Un-precondition]
-        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
-        C_new = iwp.scale_stack(p, Cl_new)
-        # Latent solvers carry no error estimate (constant steps only).
-        zero_err = jnp.zeros((d,), dtype=M_new.dtype)
-        return M_new, C_new, zero_err, jnp.abs(M_new[0, :d]), diffusion_sq
-
-    return step
 
 
 class _LatentForceEK1Base(pdefilter.PDEFilter):

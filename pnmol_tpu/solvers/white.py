@@ -19,6 +19,7 @@ and the whole step is a single jitted pure function consumed by the scan /
 while-loop drivers in :mod:`pnmol_tpu.solvers.pdefilter`.
 """
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -65,88 +66,102 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
     return Jx + L, Jx @ m_at - fx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_derivatives", "f", "df", "linear", "fused")
+)
+def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
+                       f, df, linear, fused):
+    """One white-noise EK1 attempt step (module-level jit: compilations are
+    shared across solver instances with the same shapes and statics).
+
+    Semantics identical to the reference ``attempt_step``
+    (``/root/reference/src/pnmol/white.py:96-146``); see
+    :func:`make_white_step_fn` for the calling convention.
+    """
+    n = num_derivatives + 1
+    d = mean.shape[1]
+    m_dim = d + cache.B.shape[0]
+    p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+
+    # [Precondition]
+    M = mean * p_inv[:, None]
+    Cl = iwp.scale_stack(p_inv, cov_sqrtm)
+
+    # [Predict mean]
+    Mp = cache.A1d @ M
+
+    # [Linearize] (EK1 at the predicted point)
+    m_at = p[0] * Mp[0]
+    G, shift = _linearize(f, df, cache.L, t_next, m_at, linear)
+    apply_H = _measurement_operator(cache, G, p, n)
+
+    # [Residual] z = H mp + [shift; 0]
+    z_ode = p[1] * Mp[1] - G @ m_at + shift
+    z_bc = cache.B @ m_at
+    z = jnp.concatenate((z_ode, z_bc))
+
+    # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system.
+    # S is SPD: solve via Cholesky (TPU-friendly; LU is not supported in
+    # f64 on TPU and slower in any case).
+    HQl = apply_H(cache.Ql)
+    S = HQl @ HQl.T + cache.E_bc_sqrtm @ cache.E_bc_sqrtm.T
+    S_chol = jnp.linalg.cholesky(S)
+    whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
+    sigma_squared = z @ whitened / m_dim
+    error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
+    error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
+
+    # [Predict + update covariance]
+    ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+    if fused:
+        # one pre-array QR; HQl is shared with the error estimate above
+        HACl = apply_H(ACl)
+        Cl_new, K, Sl = sqrt.fused_predict_update(
+            HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
+        )
+    else:
+        Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, cache.E_bc_sqrtm)
+    m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+
+    # [Calibrate] local diffusion from the whitened residual: the true
+    # Mahalanobis form z^T S^{-1} z with S = Sl Sl^T, via the LOWER solve
+    # Sl w = z. (The reference solves against Sl^T — ``white.py:125`` —
+    # which yields z^T (R1 R1^T)^{-1} z instead and silently depends on
+    # the QR sign convention; the lower solve is invariant.)
+    residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
+    diffusion_sq = residual_white @ residual_white / m_dim
+
+    # [Un-precondition]
+    M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+    C_new = iwp.scale_stack(p, Cl_new)
+    reference = jnp.abs(M_new[0])
+    return M_new, C_new, error, reference, diffusion_sq
+
+
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
                        linear: bool, fused: bool = True):
-    """Build the jitted white-noise EK1 attempt-step kernel.
+    """Bind a cache to the shared step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
-    (mean, cov, error_estimate (d,), reference (d,), diffusion_sq ())``
-    with semantics identical to the reference ``attempt_step``
-    (``/root/reference/src/pnmol/white.py:96-146``).
+    (mean, cov, error_estimate (d,), reference (d,), diffusion_sq ())``.
 
     ``fused=True`` (default) runs predict+update as ONE pre-array QR
     (:func:`pnmol_tpu.ops.sqrt.fused_predict_update`) — mathematically
     identical Gram, fewer launches; ``fused=False`` keeps the reference's
     two-QR pipeline (used by the oracle equivalence tests).
     """
-    n = num_derivatives + 1
-
-    @jax.jit
-    def step(mean, cov_sqrtm, t_next, dt):
-        d = mean.shape[1]
-        m_dim = d + cache.B.shape[0]
-        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
-
-        # [Precondition]
-        M = mean * p_inv[:, None]
-        Cl = iwp.scale_stack(p_inv, cov_sqrtm)
-
-        # [Predict mean]
-        Mp = cache.A1d @ M
-
-        # [Linearize] (EK1 at the predicted point)
-        m_at = p[0] * Mp[0]
-        G, shift = _linearize(f, df, cache.L, t_next, m_at, linear)
-        apply_H = _measurement_operator(cache, G, p, n)
-
-        # [Residual] z = H mp + [shift; 0]
-        z_ode = p[1] * Mp[1] - G @ m_at + shift
-        z_bc = cache.B @ m_at
-        z = jnp.concatenate((z_ode, z_bc))
-
-        # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system.
-        # S is SPD: solve via Cholesky (TPU-friendly; LU is not supported in
-        # f64 on TPU and slower in any case).
-        HQl = apply_H(cache.Ql)
-        S = HQl @ HQl.T + cache.E_bc_sqrtm @ cache.E_bc_sqrtm.T
-        S_chol = jnp.linalg.cholesky(S)
-        whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
-        sigma_squared = z @ whitened / m_dim
-        error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
-        error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
-
-        # [Predict + update covariance]
-        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-        if fused:
-            # one pre-array QR; HQl is shared with the error estimate above
-            HACl = apply_H(ACl)
-            Cl_new, K, Sl = sqrt.fused_predict_update(
-                HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
-            )
-        else:
-            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
-            HClp = apply_H(Clp)
-            Cl_new, K, Sl = sqrt.update_sqrt_from_products(
-                HClp, Clp, cache.E_bc_sqrtm
-            )
-        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
-
-        # [Calibrate] local diffusion from the whitened residual: the true
-        # Mahalanobis form z^T S^{-1} z with S = Sl Sl^T, via the LOWER solve
-        # Sl w = z. (The reference solves against Sl^T — ``white.py:125`` —
-        # which yields z^T (R1 R1^T)^{-1} z instead and silently depends on
-        # the QR sign convention; the lower solve is invariant.)
-        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
-        diffusion_sq = residual_white @ residual_white / m_dim
-
-        # [Un-precondition]
-        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
-        C_new = iwp.scale_stack(p, Cl_new)
-        reference = jnp.abs(M_new[0])
-        return M_new, C_new, error, reference, diffusion_sq
-
-    return step
+    return functools.partial(
+        white_attempt_step,
+        cache,
+        num_derivatives=num_derivatives,
+        f=f,
+        df=df,
+        linear=linear,
+        fused=fused,
+    )
 
 
 def _evaluate_ode_dense(*, L, B, E_sqrtm, R_sqrtm, f, df, linear, E0, E1, m_flat, t):
