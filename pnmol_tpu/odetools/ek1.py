@@ -41,55 +41,61 @@ class ODESolution:
     info: Dict
 
 
-def make_ek1_step_fn(*, f, df, num_derivatives: int, dtype):
-    """Jitted EK1 attempt step: ``(mean (n,d), cov (D,D), t_next, dt) ->
-    (mean, cov, error, reference, sigma_sq_local)``."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("f", "df", "num_derivatives"))
+def ek1_attempt_step(A1d, LQ1d, mean, cov_sqrtm, t_next, dt, *, f, df,
+                     num_derivatives):
+    """One EK1 attempt step (module-level jit: shared compilations)."""
     n = num_derivatives + 1
+    d = mean.shape[1]
+    p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+
+    # precondition + predict mean
+    M = mean * p_inv[:, None]
+    Mp = A1d @ M
+
+    # EK1 linearization at the predicted point
+    m_at = p[0] * Mp[0]
+    fx = f(t_next, m_at)
+    Jx = df(t_next, m_at)
+
+    def apply_H(X):
+        X0 = iwp.project_derivative(X, 0, n)
+        X1 = iwp.project_derivative(X, 1, n)
+        return p[1] * X1 - Jx @ (p[0] * X0)
+
+    z = p[1] * Mp[1] - fx
+
+    # predict covariance (Ql = kron(I_d, LQ1d): unit spatial diffusion)
+    Cl = iwp.scale_stack(p_inv, cov_sqrtm)
+    ACl = iwp.apply_stack_matrix(A1d, Cl)
+    Ql = jnp.kron(jnp.eye(d, dtype=Cl.dtype), LQ1d)
+    Clp = sqrt.propagate_cholesky_factor(ACl, Ql)
+
+    # noise-free update
+    HClp = apply_H(Clp)
+    Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
+    m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+
+    # local diffusion + error estimate (constant-diffusion calibration);
+    # lower solve = true Mahalanobis (see note in pnmol_tpu.solvers.white)
+    residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
+    sigma_sq_local = residual_white @ residual_white / d
+    error = jnp.sqrt(jnp.sum(Sl**2, axis=1)) * jnp.sqrt(sigma_sq_local) * dt
+
+    M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+    C_new = iwp.scale_stack(p, Cl_new)
+    return M_new, C_new, error, jnp.abs(M_new[0]), sigma_sq_local
+
+
+def make_ek1_step_fn(*, f, df, num_derivatives: int, dtype):
+    """Bind system matrices + statics to the shared EK1 step kernel."""
     A1d, LQ1d = iwp.system_matrices_1d(num_derivatives, jnp.dtype(dtype).name)
-
-    @jax.jit
-    def step(mean, cov_sqrtm, t_next, dt):
-        d = mean.shape[1]
-        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
-
-        # precondition + predict mean
-        M = mean * p_inv[:, None]
-        Mp = A1d @ M
-
-        # EK1 linearization at the predicted point
-        m_at = p[0] * Mp[0]
-        fx = f(t_next, m_at)
-        Jx = df(t_next, m_at)
-
-        def apply_H(X):
-            X0 = iwp.project_derivative(X, 0, n)
-            X1 = iwp.project_derivative(X, 1, n)
-            return p[1] * X1 - Jx @ (p[0] * X0)
-
-        z = p[1] * Mp[1] - fx
-
-        # predict covariance (Ql = kron(I_d, LQ1d): unit spatial diffusion)
-        Cl = iwp.scale_stack(p_inv, cov_sqrtm)
-        ACl = iwp.apply_stack_matrix(A1d, Cl)
-        Ql = jnp.kron(jnp.eye(d, dtype=Cl.dtype), LQ1d)
-        Clp = sqrt.propagate_cholesky_factor(ACl, Ql)
-
-        # noise-free update
-        HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
-        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
-
-        # local diffusion + error estimate (constant-diffusion calibration);
-        # lower solve = true Mahalanobis (see note in pnmol_tpu.solvers.white)
-        residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
-        sigma_sq_local = residual_white @ residual_white / d
-        error = jnp.sqrt(jnp.sum(Sl**2, axis=1)) * jnp.sqrt(sigma_sq_local) * dt
-
-        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
-        C_new = iwp.scale_stack(p, Cl_new)
-        return M_new, C_new, error, jnp.abs(M_new[0]), sigma_sq_local
-
-    return step
+    return functools.partial(
+        ek1_attempt_step, A1d, LQ1d, f=f, df=df, num_derivatives=num_derivatives
+    )
 
 
 class ReferenceEK1ConstantDiffusion:
