@@ -239,6 +239,42 @@ def input_scale_to_log_likelihood(input_scale, mesh_points, data, kernel_type):
     return log_likelihood(gram_matrix=K, y=data, n=data.shape[0])
 
 
+def mle_input_scale_gradient(
+    *, mesh_points, data, kernel_type, initial_scale=1.0, num_steps=100,
+    learning_rate=0.1
+):
+    """Gradient-based MLE of the input scale (adam on the log-scale).
+
+    Complements the reference's grid search (``kernels.py:186-196``) —
+    possible here because the whole likelihood (Gram assembly + Cholesky) is
+    differentiable. Returns the optimized scale as a float.
+    """
+    import optax
+
+    data = jnp.asarray(data)
+    n = data.shape[0]
+
+    def neg_log_likelihood(log_scale):
+        kernel = kernel_type(input_scale=jnp.exp(log_scale))
+        gram = kernel(mesh_points, mesh_points.T) + 1e-10 * jnp.eye(n)
+        return -log_likelihood(gram_matrix=gram, y=data, n=n)
+
+    value_and_grad = jax.jit(jax.value_and_grad(neg_log_likelihood))
+    optimizer = optax.adam(learning_rate)
+    params = jnp.log(jnp.asarray(initial_scale, dtype=data.dtype))
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def update(params, opt_state):
+        value, grads = value_and_grad(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    for _ in range(num_steps):
+        params, opt_state, _ = update(params, opt_state)
+    return float(jnp.exp(params))
+
+
 def mle_input_scale(*, mesh_points, data, kernel_type, input_scale_trials):
     """Grid-search MLE of the input scale: one vmapped sweep over all trials."""
     sweep = jax.jit(

@@ -18,7 +18,13 @@ from pnmol_tpu import discretize
 
 
 class DiscretizationMixIn:
-    """Probabilistic-FD discretization for scalar PDEs."""
+    """Probabilistic spatial discretization for scalar PDEs.
+
+    ``scheme="fd"`` (default) uses localized probabilistic finite differences;
+    ``scheme="collocation"`` uses dense global collocation
+    (``discretize.collocation_global`` — the reference implements it but never
+    wires it into the problem layer, ``figure2.py:123-131`` uses it directly).
+    """
 
     def discretize(
         self,
@@ -28,15 +34,28 @@ class DiscretizationMixIn:
         stencil_size_interior,
         stencil_size_boundary,
         nugget_gram_matrix=0.0,
+        scheme="fd",
     ):
-        L, E_sqrtm = discretize.fd_probabilistic(
-            self.diffop,
-            mesh_spatial=mesh_spatial,
-            kernel=kernel,
-            stencil_size_interior=stencil_size_interior,
-            stencil_size_boundary=stencil_size_boundary,
-            nugget_gram_matrix=nugget_gram_matrix,
-        )
+        if scheme == "fd":
+            L, E_sqrtm = discretize.fd_probabilistic(
+                self.diffop,
+                mesh_spatial=mesh_spatial,
+                kernel=kernel,
+                stencil_size_interior=stencil_size_interior,
+                stencil_size_boundary=stencil_size_boundary,
+                nugget_gram_matrix=nugget_gram_matrix,
+            )
+        elif scheme == "collocation":
+            L, E_sqrtm = discretize.collocation_global(
+                self.diffop,
+                mesh_spatial=mesh_spatial,
+                kernel=kernel,
+                nugget_gram_matrix=max(nugget_gram_matrix, 1e-12),
+                nugget_cholesky_E=1e-12,
+                symmetrize_cholesky_E=True,
+            )
+        else:
+            raise ValueError(f"Unknown discretization scheme: {scheme!r}")
         self.L = self.diffop_scale * L
         self.E_sqrtm = self.diffop_scale * E_sqrtm
         self.mesh_spatial = mesh_spatial

@@ -88,6 +88,35 @@ def test_mle_input_scale_picks_best_trial():
     assert best in trials
 
 
+def test_mle_input_scale_gradient_improves_on_grid():
+    """Adam MLE reaches a likelihood at least as good as the grid winner."""
+    mesh_points = jnp.linspace(0, 1, 20).reshape(-1, 1)
+    true_kernel = kernels.SquareExponential(input_scale=5.0)
+    gram = true_kernel(mesh_points, mesh_points.T) + 1e-8 * jnp.eye(20)
+    data = jnp.linalg.cholesky(gram) @ jax.random.normal(jax.random.PRNGKey(2), (20,))
+
+    grid_best = kernels.mle_input_scale(
+        mesh_points=mesh_points,
+        data=data,
+        kernel_type=kernels.SquareExponential,
+        input_scale_trials=jnp.array([0.5, 2.0, 8.0, 32.0]),
+    )
+    grad_best = kernels.mle_input_scale_gradient(
+        mesh_points=mesh_points,
+        data=data,
+        kernel_type=kernels.SquareExponential,
+        initial_scale=float(grid_best),
+        num_steps=50,
+    )
+
+    def ll(scale):
+        k = kernels.SquareExponential(input_scale=scale)
+        g = k(mesh_points, mesh_points.T) + 1e-10 * jnp.eye(20)
+        return float(kernels.log_likelihood(gram_matrix=g, y=data, n=20))
+
+    assert ll(grad_best) >= ll(float(grid_best)) - 1e-6
+
+
 def test_kernels_are_hashable_static_args():
     @jax.jit
     def gram_of(points, k):

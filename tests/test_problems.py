@@ -107,6 +107,34 @@ def test_ivp_conversion_requires_discretization():
         pde.to_ivp()
 
 
+def test_collocation_discretization_scheme():
+    """scheme='collocation' produces a dense L and a full E factor, and the
+    resulting problem solves end-to-end."""
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white as white_module
+
+    pde = examples.heat_1d(t0=0.0, tmax=0.3)
+    from pnmol_tpu import mesh as mesh_module
+
+    pde.discretize(
+        mesh_spatial=mesh_module.RectangularMesh.from_bbox_1d(pde.bbox, step=0.2),
+        kernel=kernels.SquareExponential(input_scale=2.0),
+        stencil_size_interior=3,
+        stencil_size_boundary=3,
+        scheme="collocation",
+    )
+    N = len(pde.mesh_spatial)
+    assert pde.L.shape == (N, N)
+    # dense: off-stencil entries populated
+    assert float(jnp.abs(pde.L[0, -1])) > 0.0
+    solver = white_module.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.1),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    sol = solver.solve(pde)
+    assert not jnp.any(jnp.isnan(sol.mean))
+
+
 def test_lotka_volterra_recipe():
     lv = examples.lotka_volterra_1d_discretized(dx=0.25)
     N = len(lv.mesh_spatial)
