@@ -165,6 +165,15 @@ class PDEFilter(ABC):
 
     def solution_generator(self, pde, /, *, stop_at=None, progressbar=False):
         """Yield (state, info) per accepted step; Python-loop parity path."""
+        if (
+            not self.supports_adaptive_steps
+            and not isinstance(self.steprule, step_module.Constant)
+        ):
+            raise ValueError(
+                f"{type(self).__name__} provides no error estimate; use a "
+                "Constant step rule (the latent-force solvers do not support "
+                "adaptive steps, matching the reference)."
+            )
         time_stopper = _TimeStopper(stop_at) if stop_at is not None else None
         state = self.initialize(pde)
         info = _empty_info()
