@@ -15,7 +15,7 @@ Capability parity with ``/root/reference/src/pnmol/odetools/init.py``:
 """
 
 import abc
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ from functools import cached_property
 import jax
 import jax.numpy as jnp
 
-from pnmol_tpu import config
+
 
 # ---------------------------------------------------------------------------
 # Closed-form 1-D system matrices

@@ -29,7 +29,6 @@ The reference pads the noise rows to a (2D x m+D) matrix
 smaller stack.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ is the drop-in upgrade path for the factorization itself.
 """
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import NamedSharding, PartitionSpec
 
 from pnmol_tpu.solvers import white as white_module
