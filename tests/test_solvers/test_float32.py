@@ -50,6 +50,29 @@ def test_white_step_f32_stays_finite_and_tracks_f64():
     assert float(rel) < 1e-4
 
 
+def test_latent_step_f32_stays_finite():
+    from pnmol_tpu.solvers import latent as latent_module
+
+    heat = examples.heat_1d_discretized(dx=0.1, tmax=1.0)
+    solver = latent_module.LinearLatentForceEK1(steprule=step.Constant(0.05))
+    state = solver.initialize(heat)
+    cache32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), solver._cache
+    )
+    step32 = latent_module.make_latent_step_fn(
+        cache=cache32, num_derivatives=2, f=None, df=None, linear=True
+    )
+    mean = state.y.mean.astype(jnp.float32)
+    cov = state.y.cov_sqrtm.astype(jnp.float32)
+    for k in range(10):
+        mean, cov, *_ = step32(
+            mean, cov, jnp.asarray(0.05 * (k + 1), jnp.float32),
+            jnp.asarray(0.05, jnp.float32),
+        )
+    assert bool(jnp.all(jnp.isfinite(mean)))
+    assert bool(jnp.all(jnp.isfinite(cov)))
+
+
 def test_solve_under_x32_mode(f32_mode):
     """Whole pipeline (discretize + init + solve) in f32 default dtype."""
     heat = examples.heat_1d_discretized(dx=0.2, tmax=0.4)
