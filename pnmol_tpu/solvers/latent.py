@@ -197,7 +197,10 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         C0_state_raw = jnp.kron(chol_gram, c0)
         C0_latent_raw = jnp.kron(pde.E_sqrtm, c0)
 
-        nugget_y0 = 1e-6 * jnp.eye(d)
+        # dtype-aware nugget (see the note in pnmol_tpu.solvers.white)
+        dtype = jnp.asarray(pde.y0).dtype
+        nugget_scale = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
+        nugget_y0 = nugget_scale * jnp.eye(d)
         C0_state_y0, kgain_y0, _ = sqrt.update_sqrt(self.E0, C0_state_raw, nugget_y0)
         m0_state_flat = kgain_y0 @ pde.y0  # prior mean is zero
 
@@ -205,7 +208,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         C0_block = jax.scipy.linalg.block_diag(C0_state_y0, C0_latent_raw)
 
         z_pde, H_pde = self._evaluate_ode_dense(pde, m0_stack, pde.t0)
-        nugget_pde = 1e-6 * jnp.eye(d + pde.B.shape[0])
+        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0])
         C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_block, nugget_pde)
         m0 = m0_stack - kgain @ z_pde
 

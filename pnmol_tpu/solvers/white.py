@@ -215,9 +215,13 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             linear=self.LINEAR,
         )
 
-        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0, on PDE
+        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0, on PDE.
+        # The conditioning nugget is dtype-aware: the reference's 1e-10
+        # (white.py:33) is below float32 resolution and NaNs the f32 path.
+        dtype = jnp.asarray(pde.y0).dtype
+        nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
         C0_raw = jnp.kron(chol_gram, self.diffuse_prior_scale * jnp.eye(n))
-        nugget_y0 = 1e-10 * jnp.eye(d)
+        nugget_y0 = nugget_scale * jnp.eye(d)
         C0_y0, kgain_y0, S_sqrtm_y0 = sqrt.update_sqrt(self.E0, C0_raw, nugget_y0)
         m0_flat = kgain_y0 @ pde.y0  # prior mean is zero
 
@@ -234,7 +238,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             m_flat=m0_flat,
             t=pde.t0,
         )
-        nugget_pde = 1e-10 * jnp.eye(d + pde.B.shape[0])
+        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0])
         C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_y0, E_bc + nugget_pde)
         m0 = m0_flat - kgain @ z_pde
 
