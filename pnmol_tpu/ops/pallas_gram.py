@@ -84,8 +84,16 @@ def gram_radial(points_x, points_y, input_scale, output_scale, *, phi_name,
     (Python floats baked into the kernel — one compile per hyperparameter).
     """
     phi = _PHI[phi_name]
-    x_padded, n = _pad_points(jnp.asarray(points_x), TILE)
-    y_padded, m = _pad_points(jnp.asarray(points_y), TILE)
+    points_x = jnp.asarray(points_x)
+    points_y = jnp.asarray(points_y)
+    # Center the cloud first: |x|^2+|y|^2-2x.y loses ~half the significant
+    # digits for nearby points far from the origin; distances are translation
+    # invariant, so subtracting a shared center is exact and removes the
+    # cancellation (must happen BEFORE padding — the 1e30 sentinel would
+    # poison the mean).
+    center = jnp.mean(points_x, axis=0, keepdims=True)
+    x_padded, n = _pad_points(points_x - center, TILE)
+    y_padded, m = _pad_points(points_y - center, TILE)
     dim = x_padded.shape[1]
     grid = (x_padded.shape[0] // TILE, y_padded.shape[0] // TILE)
 
@@ -124,6 +132,9 @@ def gram_fast_jnp(points_x, points_y, input_scale, output_scale, *, phi_name):
     phi = _PHI[phi_name]
     x = jnp.asarray(points_x)
     y = jnp.asarray(points_y)
+    center = jnp.mean(x, axis=0, keepdims=True)  # see gram_radial: exact, kills
+    x = x - center  # the cancellation for clouds far from the origin
+    y = y - center
     d2 = (
         jnp.sum(x * x, axis=1)[:, None]
         + jnp.sum(y * y, axis=1)[None, :]

@@ -74,6 +74,13 @@ def constant_step_schedule(t0, tmax, dt):
     ts = t0 + dt * np.arange(num_steps)
     dts = np.full(num_steps, dt)
     dts[-1] = tmax - ts[-1]
+    # The ceil slack above is absolute; for very long schedules float error in
+    # span/dt can still produce a degenerate final sliver. Merge it into the
+    # previous step instead (final step then spans up to 1.5*dt).
+    if num_steps > 1 and dts[-1] < 0.5 * dt:
+        ts = ts[:-1]
+        dts = dts[:-1]
+        dts[-1] = tmax - ts[-1]
     return ts, dts
 
 
@@ -159,7 +166,12 @@ class PDEFilter(ABC):
             pde, stop_at=stop_at, progressbar=progressbar
         ):
             diffusion_squared_list.append(state.diffusion_squared_local)
-        diffusion = jnp.mean(jnp.stack(diffusion_squared_list[1:]))
+        # Zero accepted steps (tmax within eps of t0): no calibration data;
+        # leave the covariance unscaled rather than crashing on an empty stack.
+        if len(diffusion_squared_list) > 1:
+            diffusion = jnp.mean(jnp.stack(diffusion_squared_list[1:]))
+        else:
+            diffusion = jnp.asarray(1.0)
         cov_scaled = state.y.cov_sqrtm * jnp.sqrt(diffusion)
         return state._replace(y=state.y._replace(cov_sqrtm=cov_scaled)), info
 
@@ -340,9 +352,14 @@ class PDEFilter(ABC):
         tmax = pde.tmax
         rate = self.num_derivatives + 1
 
+        # Same residual-step epsilon guard as _solve_adaptive_whileloop: an
+        # exact `t < tmax` can demand a ~1e-16 closing step whose dt^-(nu+1/2)
+        # preconditioner scaling destroys ~5 digits of precision.
+        t_eps = 1e-12 * max(1.0, abs(float(tmax)))
+
         def cond(carry):
             t = carry[0]
-            return t < tmax
+            return tmax - t > t_eps
 
         def body(carry):
             t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry
@@ -490,7 +507,9 @@ class PDEFilter(ABC):
             mean=jnp.stack(means),
             cov_sqrtm=jnp.stack(cov_sqrtms),
             info=info,
-            diffusion_squared_calibrated=jnp.mean(jnp.stack(diffusions)),
+            diffusion_squared_calibrated=(
+                jnp.mean(jnp.stack(diffusions)) if diffusions else jnp.asarray(1.0)
+            ),
         )
 
 
