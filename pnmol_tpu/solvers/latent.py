@@ -26,6 +26,7 @@ import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
 from pnmol_tpu.solvers import pdefilter
+from pnmol_tpu.solvers.white import structured_init_y0
 
 
 class LatentSolverCache(NamedTuple):
@@ -154,12 +155,22 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
     def supports_adaptive_steps(self):
         return False
 
+    @property
+    def E0(self):
+        """Dense derivative-0 projection of one process half; lazy."""
+        return self.lf_iwp.projection_matrix(0)
+
+    @property
+    def E1(self):
+        return self.lf_iwp.projection_matrix(1)
+
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
 
         # [Stacked prior] state-IWP (Gram Cholesky) (+) latent-IWP (E_sqrtm)
         X = pde.mesh_spatial.points
-        chol_gram = jnp.linalg.cholesky(self.spatial_kernel(X, X.T))
+        gram = self.spatial_kernel(X, X.T)
+        chol_gram = jnp.linalg.cholesky(gram)
         self.state_iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
             wiener_process_dimension=d,
@@ -172,8 +183,6 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         )
         self.ssm = stacked_ssm.StackedSSM(processes=[self.state_iwp, self.lf_iwp])
         merged = self.ssm.as_single_iwp()
-        self.E0 = self.lf_iwp.projection_matrix(0)
-        self.E1 = self.lf_iwp.projection_matrix(1)
 
         f = getattr(pde, "f", None)
         df = getattr(pde, "df", None)
@@ -191,25 +200,51 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             linear=self.LINEAR,
         )
 
-        # [Init] standard-normal start; update the state half on y0 (nugget),
-        # glue with the latent half, update the stack on the PDE measurement.
-        c0 = self.diffuse_prior_scale * jnp.eye(n)
-        C0_state_raw = jnp.kron(chol_gram, c0)
-        C0_latent_raw = jnp.kron(pde.E_sqrtm, c0)
-
+        # [Init] update the state half on y0 in closed form (see
+        # pnmol_tpu.solvers.white.structured_init_y0 — no dense kron, no
+        # (D+d)-sized QR), glue with the untouched latent half, then update
+        # the stack on the PDE measurement with a product-form QR.
         # dtype-aware nugget (see the note in pnmol_tpu.solvers.white)
         dtype = jnp.asarray(pde.y0).dtype
         nugget_scale = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
-        nugget_y0 = nugget_scale * jnp.eye(d)
-        C0_state_y0, kgain_y0, _ = sqrt.update_sqrt(self.E0, C0_state_raw, nugget_y0)
-        m0_state_flat = kgain_y0 @ pde.y0  # prior mean is zero
+        u0, C0_state_y0 = structured_init_y0(
+            gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
+        )
 
-        m0_stack = jnp.concatenate((m0_state_flat, jnp.zeros_like(m0_state_flat)))
-        C0_block = jax.scipy.linalg.block_diag(C0_state_y0, C0_latent_raw)
+        # Stacked factor over 2d points (point-major: state points first).
+        # The latent prior kron(E_sqrtm, s I_n) is derivative-block-diagonal
+        # with every block s*E_sqrtm, so assemble all blocks directly.
+        D = d * n
+        s = jnp.asarray(self.diffuse_prior_scale, dtype=dtype)
+        C0_block = jnp.zeros((2 * d, n, 2 * d, n), dtype=dtype)
+        C0_state_y0 = C0_state_y0.reshape(d, n, d, n)
+        C0_block = C0_block.at[:d, :, :d, :].set(C0_state_y0)
+        for k in range(n):
+            C0_block = C0_block.at[d:, k, d:, k].set(s * pde.E_sqrtm)
+        C0_block = C0_block.reshape(2 * D, 2 * D)
 
-        z_pde, H_pde = self._evaluate_ode_dense(pde, m0_stack, pde.t0)
-        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0])
-        C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_block, nugget_pde)
+        # PDE residual at t0: the stacked mean is zero except the state
+        # derivative-0 row (= u0), so z collapses to closed form (cf.
+        # _evaluate_ode_dense): z_ode = -L u0 - f(u0), z_bc = B u0.
+        if self.LINEAR:
+            G_lin = pde.L
+            z_ode = -pde.L @ u0
+        else:
+            fx = f(pde.t0, u0)
+            Jx = df(pde.t0, u0)
+            G_lin = Jx + pde.L
+            z_ode = -pde.L @ u0 - fx
+        z_pde = jnp.concatenate((z_ode, pde.B @ u0))
+
+        ones = jnp.ones((n,), dtype=dtype)
+        apply_H = _measurement_operator_latent(self._cache, G_lin, ones, n, d)
+        HC = apply_H(C0_block)
+        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0], dtype=dtype)
+        C0, kgain, _ = sqrt.update_sqrt_from_products(HC, C0_block, nugget_pde)
+        m0_stack = jnp.concatenate(
+            (iwp.mean_to_flat(jnp.zeros((n, d), dtype=dtype).at[0].set(u0)),
+             jnp.zeros((D,), dtype=dtype))
+        )
         m0 = m0_stack - kgain @ z_pde
 
         # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.

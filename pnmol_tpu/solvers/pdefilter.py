@@ -104,10 +104,8 @@ class PDEFilter(ABC):
         )
         self.diffuse_prior_scale = diffuse_prior_scale
 
-        # Filled by initialize()
+        # Filled by initialize(); E0/E1 are lazy per-solver properties.
         self.iwp = None
-        self.E0 = None
-        self.E1 = None
 
     def __repr__(self):
         return (

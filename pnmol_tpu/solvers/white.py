@@ -179,24 +179,74 @@ def _evaluate_ode_dense(*, L, B, E_sqrtm, R_sqrtm, f, df, linear, E0, E1, m_flat
     return z, H, E_bc_sqrtm
 
 
+def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
+    """Closed-form sqrt-update of the Kronecker prior on the y0 observation.
+
+    The diffuse prior has mean zero and covariance ``kron(G, s^2 I_n)``
+    (factor ``kron(chol_gram, s I_n)``); observing the 0-th derivative block
+    ``E0 = kron(I_d, e0^T)`` with noise ``nugget^2 I_d`` gives, in closed form,
+
+        S  = s^2 G + nugget^2 I            (innovation covariance)
+        W  = s^2 G S^{-1}                  (gain restricted to derivative 0)
+        m  = W y0 on the derivative-0 row, zero elsewhere
+        P  = blockdiag_over_derivatives(nugget^2 W, s^2 G, ..., s^2 G)
+
+    so the posterior factor is *derivative-block-diagonal* in the point-major
+    layout: ``chol(nugget^2 W)`` on derivative 0 and ``s chol_gram`` on the
+    rest. Mean and covariance are identical to
+    ``sqrt.update_sqrt(E0, kron(chol_gram, s I_n), nugget I)`` (the factor
+    differs by a right orthogonal transform, which is irrelevant downstream)
+    — but nothing of size ``(D, D+d)`` is ever QR-factorized and no dense
+    f64 Kronecker product is materialized, which is what capped round 1 at
+    N=2048 (reference semantics: ``/root/reference/src/pnmol/white.py:24-39``).
+
+    Returns ``(u0 (d,), C0_y0 (D, D))`` — the conditioned mean's derivative-0
+    row and the dense assembled posterior factor (the step kernel's working
+    set; everything leading up to it stays O(d^2)).
+    """
+    d = gram.shape[0]
+    dtype = gram.dtype
+    s = jnp.asarray(diffuse_scale, dtype)
+    S0 = s**2 * gram + nugget**2 * jnp.eye(d, dtype=dtype)
+    S0_chol = jnp.linalg.cholesky(S0)
+    W = s**2 * jax.scipy.linalg.cho_solve((S0_chol, True), gram).T  # s^2 G S^-1
+    u0 = W @ y0
+    # chol(nugget^2 W) = nugget * chol(W): scale outside to keep the factor
+    # well inside the dtype's range for tiny nuggets.
+    C00 = nugget * jnp.linalg.cholesky(0.5 * (W + W.T))
+    blocks = jnp.zeros((d, n, d, n), dtype=dtype)
+    blocks = blocks.at[:, 0, :, 0].set(C00)
+    for k in range(1, n):
+        blocks = blocks.at[:, k, :, k].set(s * chol_gram)
+    return u0, blocks.reshape(d * n, d * n)
+
+
 class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     """Shared initialization and step plumbing of the white-noise solvers."""
 
     LINEAR: bool = True
+
+    @property
+    def E0(self):
+        """Dense derivative-0 projection; lazy (O(d*D)) — experiments only."""
+        return self.iwp.projection_matrix(0)
+
+    @property
+    def E1(self):
+        return self.iwp.projection_matrix(1)
 
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
 
         # [Prior] spatial kernel Gram Cholesky becomes the IWP diffusion factor
         X = pde.mesh_spatial.points
-        chol_gram = jnp.linalg.cholesky(self.spatial_kernel(X, X.T))
+        gram = self.spatial_kernel(X, X.T)
+        chol_gram = jnp.linalg.cholesky(gram)
         self.iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
             wiener_process_dimension=d,
             wp_diffusion_sqrtm=chol_gram,
         )
-        self.E0 = self.iwp.projection_matrix(0)
-        self.E1 = self.iwp.projection_matrix(1)
 
         f = getattr(pde, "f", None)
         df = getattr(pde, "df", None)
@@ -215,31 +265,38 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             linear=self.LINEAR,
         )
 
-        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0, on PDE.
+        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0 (in
+        # closed form — see structured_init_y0), then on the linearized PDE
+        # measurement at t0 (product-form QR; H is never materialized).
         # The conditioning nugget is dtype-aware: the reference's 1e-10
         # (white.py:33) is below float32 resolution and NaNs the f32 path.
         dtype = jnp.asarray(pde.y0).dtype
         nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
-        C0_raw = jnp.kron(chol_gram, self.diffuse_prior_scale * jnp.eye(n))
-        nugget_y0 = nugget_scale * jnp.eye(d)
-        C0_y0, kgain_y0, S_sqrtm_y0 = sqrt.update_sqrt(self.E0, C0_raw, nugget_y0)
-        m0_flat = kgain_y0 @ pde.y0  # prior mean is zero
-
-        z_pde, H_pde, E_bc = _evaluate_ode_dense(
-            L=pde.L,
-            B=pde.B,
-            E_sqrtm=pde.E_sqrtm,
-            R_sqrtm=pde.R_sqrtm,
-            f=f,
-            df=df,
-            linear=self.LINEAR,
-            E0=self.E0,
-            E1=self.E1,
-            m_flat=m0_flat,
-            t=pde.t0,
+        u0, C0_y0 = structured_init_y0(
+            gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
         )
-        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0])
-        C0, kgain, _ = sqrt.update_sqrt(H_pde, C0_y0, E_bc + nugget_pde)
+
+        # After the y0 update the mean is zero except on derivative 0, so the
+        # PDE residual z = H m + [shift; 0] collapses to closed form too
+        # (z_ode = -L u0 - f(u0); z_bc = B u0 — cf. _evaluate_ode_dense).
+        if self.LINEAR:
+            G_lin = pde.L
+            z_ode = -pde.L @ u0
+        else:
+            fx = f(pde.t0, u0)
+            Jx = df(pde.t0, u0)
+            G_lin = Jx + pde.L
+            z_ode = -pde.L @ u0 - fx
+        z_pde = jnp.concatenate((z_ode, pde.B @ u0))
+
+        ones = jnp.ones((n,), dtype=dtype)
+        apply_H = _measurement_operator(self._cache, G_lin, ones, n)
+        HC = apply_H(C0_y0)
+        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0], dtype=dtype)
+        C0, kgain, _ = sqrt.update_sqrt_from_products(
+            HC, C0_y0, self._cache.E_bc_sqrtm + nugget_pde
+        )
+        m0_flat = iwp.mean_to_flat(jnp.zeros((n, d), dtype=dtype).at[0].set(u0))
         m0 = m0_flat - kgain @ z_pde
 
         y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
