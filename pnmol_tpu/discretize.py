@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pnmol_tpu import config, diffops, kernels
 
@@ -66,6 +67,57 @@ def fd_coefficients(x, neighbors, k, L_k, LL_k, nugget_gram_matrix=0.0):
     return weights, uncertainty
 
 
+def dx_adapted_input_scale(mesh_spatial, target=1.0):
+    """Input scale keeping the stencil systems well conditioned at any dx.
+
+    The conditioning of a kernel-FD stencil Gram grows like
+    ``(input_scale * dx)^{-2(s-1)}``; with ``input_scale ~ target / dx`` the
+    product is O(1) at every resolution, so the stencil solves stay accurate
+    even in float32 (the f32 TPU policy). This is also what the reference's
+    own MLE calibration converges to — the optimal input scale tracks the
+    mesh spacing (``/root/reference/experiments/figure2.py:17-35``).
+    """
+    return float(target) / mesh_spatial.fill_distance
+
+
+def _dedupe_offsets(points_host, point_indices, neighbor_indices):
+    """Host-side dedupe of stencil offset patterns.
+
+    Returns (representative offsets (U, s, dim) float64, inverse (n,)): on a
+    uniform tensor grid U is O(1) (one interior pattern, a few boundary
+    patterns), so the batched stencil solve shrinks from N systems to U.
+    Offsets are taken from the f64 host geometry: differences of nearby f32
+    coordinates would lose most significant digits, while the small offset
+    values themselves are exactly representable.
+    """
+    pt_idx = np.asarray(point_indices)
+    nb_idx = np.asarray(neighbor_indices)
+    off = points_host[nb_idx] - points_host[pt_idx][:, None, :]
+    scale = np.abs(off).max()
+    if scale == 0.0:
+        scale = 1.0
+    quant = np.round(off / scale * 1e9).astype(np.int64).reshape(off.shape[0], -1)
+    _, first, inverse = np.unique(
+        quant, axis=0, return_index=True, return_inverse=True
+    )
+    return off[first], inverse.reshape(-1)
+
+
+def _stencil_coefficients(coeff_batch, mesh_spatial, points, point_indices,
+                          neighbors, neighbor_indices, dedupe):
+    """Per-point FD weights/uncertainties, deduped for stationary kernels."""
+    if not dedupe or points.shape[0] == 0:
+        return coeff_batch(points, neighbors)
+    rep_offsets, inverse = _dedupe_offsets(
+        mesh_spatial._points_host, point_indices, neighbor_indices
+    )
+    dtype = config.default_dtype()
+    zeros = jnp.zeros((rep_offsets.shape[0], rep_offsets.shape[2]), dtype=dtype)
+    w_u, u_u = coeff_batch(zeros, jnp.asarray(rep_offsets, dtype=dtype))
+    inv = jnp.asarray(inverse)
+    return w_u[inv], u_u[inv]
+
+
 def fd_probabilistic(
     diffop,
     mesh_spatial,
@@ -73,11 +125,18 @@ def fd_probabilistic(
     stencil_size_interior=3,
     stencil_size_boundary=3,
     nugget_gram_matrix=0.0,
+    stencil_dedupe="auto",
 ):
     """Discretize ``diffop`` with probabilistic finite differences.
 
     Returns the differentiation matrix ``L`` (N x N, one stencil row per mesh
     point) and the diagonal error factor ``E_sqrtm`` (N x N).
+
+    ``stencil_dedupe`` ("auto" | True | False): for stationary kernels the
+    stencil system depends only on the neighbor *offsets*, so identical
+    offset patterns (all interior points of a uniform grid) are solved once
+    and broadcast — O(1) solves instead of O(N) at setup. "auto" enables this
+    whenever the kernel declares itself stationary.
     """
     if kernel is None:
         kernel = kernels.SquareExponential(input_scale=1.0, output_scale=1.0)
@@ -94,6 +153,11 @@ def fd_probabilistic(
             )
         )
     )
+    dedupe = (
+        bool(stencil_dedupe)
+        if stencil_dedupe != "auto"
+        else getattr(kernel, "stationary", False)
+    )
 
     points_interior, _, indices_interior = mesh_spatial.interior
     points_boundary, _, indices_boundary = mesh_spatial.boundary
@@ -105,8 +169,14 @@ def fd_probabilistic(
         point=points_boundary, num=stencil_size_boundary
     )
 
-    w_int, u_int = coeff_batch(points_interior, neighbors_interior)
-    w_bnd, u_bnd = coeff_batch(points_boundary, neighbors_boundary)
+    w_int, u_int = _stencil_coefficients(
+        coeff_batch, mesh_spatial, points_interior, indices_interior,
+        neighbors_interior, neighbor_idx_interior, dedupe,
+    )
+    w_bnd, u_bnd = _stencil_coefficients(
+        coeff_batch, mesh_spatial, points_boundary, indices_boundary,
+        neighbors_boundary, neighbor_idx_boundary, dedupe,
+    )
 
     N = mesh_spatial.shape[0]
     dtype = config.default_dtype()

@@ -24,6 +24,11 @@ import jax.scipy.linalg
 class Kernel(abc.ABC):
     """Covariance kernel interface."""
 
+    #: True if k(x, y) depends on x - y only. Stationary kernels unlock the
+    #: stencil-dedupe fast path in :mod:`pnmol_tpu.discretize` (uniform grids
+    #: have O(1) distinct stencil systems instead of N).
+    stationary: bool = False
+
     @abc.abstractmethod
     def __call__(self, X, Y):
         raise NotImplementedError
@@ -58,7 +63,10 @@ class PairwiseKernel(Kernel):
         def summed(x, y):
             return self_pairwise(x, y) + other_pairwise(x, y)
 
-        return Lambda(summed)
+        out = Lambda(summed)
+        # a sum of stationary kernels is stationary
+        out.stationary = self.stationary and getattr(other, "stationary", False)
+        return out
 
     def __str__(self):
         return f"{self.__class__.__name__}()"
@@ -98,6 +106,8 @@ class RadialKernel(PairwiseKernel):
 
     input_scale: float = 1.0
     output_scale: float = 1.0
+
+    stationary = True
 
     # subclass marker for the fused Gram path (None disables it)
     _PHI_NAME = None
@@ -189,6 +199,8 @@ class WhiteNoise(PairwiseKernel):
     """k(x, y) = output_scale^2 * 1[x == y]."""
 
     output_scale: float = 1.0
+
+    stationary = True
 
     def pairwise(self, x, y):
         return self.output_scale**2 * jnp.all(x == y)

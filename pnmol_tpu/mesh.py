@@ -42,8 +42,14 @@ class Mesh(abc.ABC):
     """Scattered points."""
 
     def __init__(self, points):
-        self.points = jnp.asarray(points)
-        self._points_host = np.asarray(self.points)
+        # Host copy in float64 BEFORE the device cast: setup-time geometry
+        # (neighbor search, stencil offsets, fill distance) keeps full
+        # precision even when the device arrays run the f32 TPU policy —
+        # f32 coordinate *differences* of nearby points would lose most of
+        # their digits, whereas small offsets stored directly are accurate.
+        pts_np = np.asarray(points)
+        self._points_host = pts_np.astype(np.float64)
+        self.points = jnp.asarray(pts_np)
 
     @abc.abstractmethod
     def neighbours(self, point, num):
@@ -62,10 +68,11 @@ class Mesh(abc.ABC):
     def sort(self):
         """Reorder points as [interior; boundary] in place (reference:
         ``mesh.py:32-41``)."""
-        interior_pts, _, _ = self.interior
-        boundary_pts, _, _ = self.boundary
-        self.points = jnp.concatenate((interior_pts, boundary_pts), axis=0)
-        self._points_host = np.asarray(self.points)
+        _, _, interior_idx = self.interior
+        _, _, boundary_idx = self.boundary
+        perm = np.concatenate((np.asarray(interior_idx), np.asarray(boundary_idx)))
+        self.points = self.points[jnp.asarray(perm)]
+        self._points_host = self._points_host[perm]  # keep the f64 host copy
         # invalidate cached classifications
         for attr in ("boundary", "interior", "_boundary_mask_host",
                      "boundary_projection_matrix"):
@@ -97,7 +104,13 @@ class Mesh(abc.ABC):
     @property
     def fill_distance(self):
         """Largest distance from any point to its nearest distinct neighbor."""
-        d2 = ((self._points_host[:, None, :] - self._points_host[None, :, :]) ** 2).sum(-1)
+        pts = self._points_host
+        if pts.shape[0] > _TREE_CUTOVER:
+            # kNN path: the dense (N, N) distance matrix is O(N^2) host memory
+            idx = _knn_host(pts, pts, 2)
+            nn = pts[idx[:, 1]]
+            return float(np.sqrt(((pts - nn) ** 2).sum(-1).max()))
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         np.fill_diagonal(d2, np.inf)
         return float(np.sqrt(d2.min(axis=1).max()))
 
@@ -115,17 +128,19 @@ class RectangularMesh(Mesh):
 
     @classmethod
     def from_bbox_1d(cls, bbox, step=None, num=None):
-        bbox = jnp.asarray(bbox)
+        # Grids are built in host float64 (the Mesh constructor keeps the f64
+        # copy for setup geometry and casts the device copy per dtype policy).
+        bbox = np.asarray(bbox, dtype=np.float64)
         if (step is None) == (num is None):
             raise ValueError("Provide exactly one of step or num.")
         if step is not None:
             num = int((bbox[1] - bbox[0]) / step) + 1
-        grid = jnp.linspace(bbox[0], bbox[1], num=num, endpoint=True)
+        grid = np.linspace(bbox[0], bbox[1], num=num, endpoint=True)
         return cls(grid.reshape(-1, 1))
 
     @classmethod
     def from_bbox_2d(cls, bbox, steps=None, nums=None):
-        bbox = jnp.asarray(bbox)
+        bbox = np.asarray(bbox, dtype=np.float64)
         if (steps is None) == (nums is None):
             raise ValueError("Provide exactly one of steps or nums.")
         if steps is not None:
@@ -133,11 +148,11 @@ class RectangularMesh(Mesh):
                 int((bbox[d, 1] - bbox[d, 0]) / steps[d]) + 1 for d in range(2)
             )
         axes = [
-            jnp.linspace(bbox[d, 0], bbox[d, 1], num=nums[d], endpoint=True)
+            np.linspace(bbox[d, 0], bbox[d, 1], num=nums[d], endpoint=True)
             for d in range(2)
         ]
-        grid0, grid1 = jnp.meshgrid(axes[0], axes[1], indexing="ij")
-        points = jnp.stack((grid0.reshape(-1), grid1.reshape(-1)), axis=-1)
+        grid0, grid1 = np.meshgrid(axes[0], axes[1], indexing="ij")
+        points = np.stack((grid0.reshape(-1), grid1.reshape(-1)), axis=-1)
         return cls(points)
 
     def neighbours(self, point, num):
