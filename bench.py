@@ -3,45 +3,75 @@
 Measures steps/sec of the fully-jitted white-noise EK1 scan loop on the 1-D
 heat equation at N grid points:
 
-* device run in float32 (TPU MXU path),
-* CPU oracle run in float64 (the reference implementation's precision and
+* device run float32 END-TO-END (PNMOL_TPU_X32 subprocess: mesh, FD assembly
+  with a dx-adapted input scale, structured init, stepping — no f64 staging
+  anywhere),
+* CPU oracle in float64 (the reference implementation's precision and
   platform — the original reference code cannot run on modern JAX, so the
   baseline is this framework's own math on the reference's platform).
+
+The parent process only orchestrates: each measurement runs in its own
+subprocess so the dtype policy and backend are pinned cleanly per run.
+The step cache is passed as a *traced* argument of the jitted scan (baking
+it in as constants made XLA constant-fold a (D, D)-sized dot at compile
+time — a 32 s stall at N=512 in round 1).
 
 Prints ONE JSON line:
   {"metric": ..., "value": steps/s on device, "unit": "steps/s",
    "vs_baseline": device_steps_per_sec / cpu_f64_steps_per_sec}
 
-Env knobs: PNMOL_BENCH_N (grid points, default 256), PNMOL_BENCH_STEPS,
-PNMOL_BENCH_REPEATS.
+Env knobs: PNMOL_BENCH_N (grid points, default 512), PNMOL_BENCH_STEPS,
+PNMOL_BENCH_REPEATS, PNMOL_BENCH_FUSED (1 = single pre-array QR, default),
+PNMOL_BENCH_MATMUL_PRECISION (default | tensorfloat32 | highest).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-# Defaults measured on TPU v5e (single chip), f32 vs CPU f64 oracle:
-#   N=256:  554 steps/s,  55x,  1.9 TFLOP/s effective
-#   N=512:  188 steps/s, 121x,  5.0 TFLOP/s
-#   N=1024:  40 steps/s, 222x,  8.5 TFLOP/s
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
+FUSED = os.environ.get("PNMOL_BENCH_FUSED", "1") == "1"
+MATMUL_PRECISION = os.environ.get("PNMOL_BENCH_MATMUL_PRECISION", "default")
 NU = 2
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. f32 work on the MXU runs
+# through multi-pass bf16, so MFU is reported against the bf16 peak.
+PEAK_FLOPS_BY_PLATFORM = {"TPU v5 lite": 197e12}
 
-def build(dtype):
+
+def _child(mode: str) -> None:
+    """Run one measurement (mode: 'device' f32 | 'cpu' f64), print JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    if mode == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+        num_steps = CPU_STEPS
+    else:
+        # PNMOL_TPU_X32=1 exported by the parent: f32 policy end-to-end.
+        dtype = jnp.float32
+        num_steps = NUM_STEPS
+
     import pnmol_tpu
+    from pnmol_tpu import discretize, kernels
     from pnmol_tpu.odetools import step as step_module
     from pnmol_tpu.solvers import white as white_module
 
+    t_build0 = time.perf_counter()
+    dx = 1.0 / (N_POINTS - 1)
     heat = pnmol_tpu.pde.examples.heat_1d_discretized(
-        dx=1.0 / (N_POINTS - 1), tmax=1.0
+        dx=dx,
+        tmax=1.0,
+        # dx-adapted FD scale: stencil systems stay well conditioned in f32
+        # at every N (see pnmol_tpu.discretize.dx_adapted_input_scale)
+        kernel=kernels.SquareExponential(input_scale=0.1 / dx),
     )
     solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
         steprule=step_module.Constant(dt=1e-3),
@@ -49,64 +79,94 @@ def build(dtype):
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
     )
     state = solver.initialize(heat)
-    cache = jax.tree_util.tree_map(lambda x: x.astype(dtype), solver._cache)
-    mean = state.y.mean.astype(dtype)
-    cov = state.y.cov_sqrtm.astype(dtype)
-    step_fn = white_module.make_white_step_fn(
-        cache=cache, num_derivatives=NU, f=None, df=None, linear=True
-    )
-    return step_fn, mean, cov
+    jax.block_until_ready(state.y.cov_sqrtm)
+    build_s = time.perf_counter() - t_build0
 
-
-def make_runner(step_fn, dtype, num_steps):
+    cache = solver._cache
+    mean = state.y.mean
+    cov = state.y.cov_sqrtm
     dt = jnp.asarray(1e-3, dtype)
 
     @jax.jit
-    def run(mean, cov):
+    def run(cache, mean, cov):
         def body(carry, t):
             m, c = carry
-            m, c, _, _, _ = step_fn(m, c, t, dt)
+            m, c, _, _, _ = white_module.white_attempt_step(
+                cache, m, c, t, dt,
+                num_derivatives=NU, f=None, df=None, linear=True, fused=FUSED,
+            )
             return (m, c), None
 
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
         (m, c), _ = jax.lax.scan(body, (mean, cov), ts)
         return m, c
 
-    return run
-
-
-def measure(step_fn, mean, cov, dtype, device, num_steps):
-    mean = jax.device_put(mean, device)
-    cov = jax.device_put(cov, device)
-    run = make_runner(step_fn, dtype, num_steps)
-    out = run(mean, cov)  # compile + warmup
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = run(mean, cov)
+    with jax.default_matmul_precision(MATMUL_PRECISION):
+        t_compile0 = time.perf_counter()
+        out = run(cache, mean, cov)  # compile + warmup
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return num_steps / best
+        compile_s = time.perf_counter() - t_compile0
+
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = run(cache, mean, cov)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+
+    assert not bool(jnp.any(jnp.isnan(out[0]))), "bench produced NaNs"
+    print(
+        "BENCH_CHILD "
+        + json.dumps(
+            {
+                "mode": mode,
+                "steps_per_sec": num_steps / best,
+                "device": str(jax.devices()[0]),
+                "device_kind": jax.devices()[0].device_kind,
+                "build_seconds": round(build_s, 2),
+                "compile_seconds": round(compile_s, 2),
+            }
+        )
+    )
+
+
+def _spawn(mode: str) -> dict:
+    env = dict(os.environ)
+    if mode == "device":
+        env["PNMOL_TPU_X32"] = "1"
+    else:
+        env.pop("PNMOL_TPU_X32", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), f"--child-{mode}"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    sys.stderr.write(proc.stderr[-2000:] if proc.returncode else "")
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench child ({mode}) failed rc={proc.returncode}:\n"
+            + proc.stderr[-4000:]
+        )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_CHILD "):
+            return json.loads(line[len("BENCH_CHILD "):])
+    raise RuntimeError(f"bench child ({mode}) printed no result:\n{proc.stdout}")
 
 
 def main():
-    devices = jax.devices()
-    accel = devices[0]
-    cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else accel
+    device = _spawn("device")
+    cpu = _spawn("cpu")
 
-    # Device (f32) measurement.
-    step_f32, mean32, cov32 = build(jnp.float32)
-    device_sps = measure(step_f32, mean32, cov32, jnp.float32, accel, NUM_STEPS)
-
-    # CPU float64 oracle (reference platform + precision).
-    with jax.default_device(cpu):
-        step_f64, mean_f64, cov_f64 = build(jnp.float64)
-        cpu_sps = measure(step_f64, mean_f64, cov_f64, jnp.float64, cpu, CPU_STEPS)
-
+    # analytic FLOP model of the sqrt-Kalman step (QR-dominated)
     from pnmol_tpu.utils import profiling
 
+    device_sps = device["steps_per_sec"]
+    cpu_sps = cpu["steps_per_sec"]
     gflops = profiling.steps_per_sec_to_gflops(device_sps, d=N_POINTS, nu=NU, b=2)
+    peak = PEAK_FLOPS_BY_PLATFORM.get(device["device_kind"])
+    mfu = (gflops * 1e9 / peak) if peak else None
     print(
         json.dumps(
             {
@@ -115,12 +175,18 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(device_sps / cpu_sps, 3),
                 "detail": {
-                    "device": str(accel),
+                    "device": device["device"],
                     "cpu_f64_steps_per_sec": round(cpu_sps, 3),
                     "grid_points": N_POINTS,
                     "state_dim": N_POINTS * (NU + 1),
                     "num_steps": NUM_STEPS,
                     "sqrt_kalman_gflops_per_sec": round(gflops, 2),
+                    "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+                    "compile_seconds_device": device["compile_seconds"],
+                    "build_seconds_device": device["build_seconds"],
+                    "fused_qr": FUSED,
+                    "matmul_precision": MATMUL_PRECISION,
+                    "f32_end_to_end": True,
                 },
             }
         )
@@ -128,4 +194,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child-device" in sys.argv:
+        _child("device")
+    elif "--child-cpu" in sys.argv:
+        _child("cpu")
+    else:
+        main()

@@ -126,6 +126,26 @@ def project_derivative(X, i, n):
     return X.reshape(-1, n, K)[:, i, :]
 
 
+def kron_point_major(A_spatial, B_deriv):
+    """``jnp.kron(A_spatial, B_deriv)`` assembled TPU-friendly.
+
+    ``jnp.kron`` broadcasts to a ``(d, n, d, n)`` intermediate whose tiny
+    trailing axis (n = nu+1) TPU tiling pads to 128 — a ~42x HBM blow-up at
+    large d (observed OOM at N=4096). Build ``kron(B, A)`` instead (trailing
+    axis d, padding-free) and apply the point-major permutation
+    ``(i,k) <-> (k,i)`` with two gathers; every intermediate is 2-D or has a
+    large trailing axis.
+    """
+    d = A_spatial.shape[0]
+    n = B_deriv.shape[0]
+    big = (
+        B_deriv[:, None, :, None] * A_spatial[None, :, None, :]
+    ).reshape(n * d, n * d)  # kron(B_deriv, A_spatial)
+    idx = jnp.arange(n * d)
+    perm = (idx % n) * d + idx // n
+    return big[perm][:, perm]
+
+
 def mean_to_flat(M):
     """(n, d) mean matrix -> point-major flat vector (reference order='F')."""
     return M.T.reshape(-1)
@@ -187,8 +207,9 @@ class IntegratedWienerTransition:
     def preconditioned_discretize(self):
         """Dense (A, L_Q): kron(I_d, A_1d), kron(wp_diffusion_sqrtm, L_Q1d)."""
         A_1d, L_Q1d = self.preconditioned_discretize_1d
-        A = jnp.kron(jnp.eye(self.wiener_process_dimension, dtype=A_1d.dtype), A_1d)
-        L_Q = jnp.kron(self.wp_diffusion_sqrtm, L_Q1d)
+        eye = jnp.eye(self.wiener_process_dimension, dtype=A_1d.dtype)
+        A = kron_point_major(eye, A_1d)
+        L_Q = kron_point_major(self.wp_diffusion_sqrtm, L_Q1d)
         return A, L_Q
 
     def nordsieck_preconditioner(self, dt):
@@ -219,4 +240,4 @@ class IntegratedWienerTransition:
         preconditioned coordinates, so this is setup cost, not step cost.
         """
         _, L_Q1d = self.preconditioned_discretize_1d
-        return jnp.kron(self.wp_diffusion_sqrtm, L_Q1d)
+        return kron_point_major(self.wp_diffusion_sqrtm, L_Q1d)

@@ -2,59 +2,104 @@
 
 The collocation-point dimension is this workload's sequence-length analog
 (SURVEY.md §5): at N = 1e4-1e5 points the (D, D) covariance factor no longer
-fits (or computes) on one chip. Here the white-noise EK1 step runs with its
-covariance factor row-sharded over the device mesh's ``"space"`` axis;
-sharding constraints pin the layout and GSPMD inserts the collectives for
-the QR/matmul chain over ICI.
+fits (or computes) on one chip. Two tiers:
 
-Current status: layouts + collectives are XLA-managed (correct on any mesh,
-validated against the unsharded step); the hand-scheduled distributed
-pre-array QR (TSQR panels, :func:`pnmol_tpu.parallel.sharded_linalg.tsqr_r`)
-is the drop-in upgrade path for the factorization itself.
+* XLA-managed (``distributed_qr=False``): sharding constraints pin the
+  row layout and GSPMD inserts the collectives for the QR/matmul chain —
+  correct on any mesh, but XLA gathers the pre-array for one local QR.
+* Hand-distributed (``distributed_qr=True``): the covariance factor is
+  *column*-sharded so the sqrt-Kalman pre-array (built from the factor
+  transposes) is row-sharded with no resharding, and the factorization runs
+  as the distributed blocked panel QR of
+  :func:`pnmol_tpu.parallel.sharded_linalg.blocked_qr_r` — local MXU
+  matmuls + one (panel, trailing) ``psum`` per panel step over ICI. The
+  (m+D) x (m+D) R factor is replicated (it carries the gain and posterior
+  blocks every device needs).
 """
 
+import functools
+
 import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
 
 from jax.sharding import NamedSharding, PartitionSpec
 
+from pnmol_tpu.parallel import sharded_linalg
 from pnmol_tpu.solvers import white as white_module
 
 
-def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
-                                  df=None, linear=True):
-    """White-noise EK1 step with (D, D) covariance rows sharded over 'space'.
+def pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, *, mesh, axis="space",
+                         panel_size=None):
+    """Distributed fused predict+update: same contract as
+    ``pnmol_tpu.ops.sqrt.fused_predict_update``, with the pre-array QR
+    replaced by the blocked panel factorization over the device mesh."""
+    m, D = HACl.shape
+    top = jnp.concatenate((HACl.T, ACl.T), axis=1)  # (D, m + D)
+    mid = jnp.concatenate((HQl.T, Ql.T), axis=1)  # (D, m + D)
+    bottom = jnp.concatenate(
+        (R_noise.T, jnp.zeros((m, D), dtype=R_noise.dtype)), axis=1
+    )
+    pre = jnp.concatenate((top, mid, bottom), axis=0)  # (2D + m, m + D)
+    R = sharded_linalg.blocked_qr_r(pre, mesh=mesh, axis=axis,
+                                    panel_size=panel_size)
+    R1 = R[:m, :m]
+    R2 = R[:m, m:]
+    R3 = R[m:, m:]
+    gain = jax.scipy.linalg.solve_triangular(R1, R2, lower=False).T
+    return R3.T, gain, R1.T
 
-    Returns a jitted ``step(mean, cov, t_next, dt)`` whose covariance inputs/
-    outputs carry a row-sharding constraint over the mesh. The cache's
-    ``Ql`` should be device_put with the same sharding by the caller for
+
+def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
+                                  df=None, linear=True, distributed_qr=False,
+                                  panel_size=None):
+    """White-noise EK1 step sharded over the mesh's 'space' axis.
+
+    Returns a jitted ``step(mean, cov, t_next, dt)``. With
+    ``distributed_qr=True`` the covariance factor is column-sharded and the
+    pre-array factorization itself is distributed (see module docstring);
+    otherwise rows are sharded and GSPMD manages the QR. The cache should be
+    placed with :func:`shard_cache` (matching ``distributed_qr``) for
     zero-copy execution.
     """
-    inner = white_module.make_white_step_fn(
-        cache=cache, num_derivatives=num_derivatives, f=f, df=df, linear=linear
-    )
-    row_sharding = NamedSharding(mesh, PartitionSpec("space", None))
     replicated = NamedSharding(mesh, PartitionSpec())
+    if distributed_qr:
+        factorization = functools.partial(
+            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        )
+        cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    else:
+        factorization = None
+        cov_sharding = NamedSharding(mesh, PartitionSpec("space", None))
+
+    inner = white_module.make_white_step_fn(
+        cache=cache, num_derivatives=num_derivatives, f=f, df=df,
+        linear=linear, factorization=factorization,
+    )
 
     @jax.jit
     def step(mean, cov, t_next, dt):
         mean = jax.lax.with_sharding_constraint(mean, replicated)
-        cov = jax.lax.with_sharding_constraint(cov, row_sharding)
+        cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
         new_mean, new_cov, err, ref, diff = inner(mean, cov, t_next, dt)
-        new_cov = jax.lax.with_sharding_constraint(new_cov, row_sharding)
+        new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding)
         return new_mean, new_cov, err, ref, diff
 
     return step
 
 
-def shard_cache(cache, mesh):
-    """Place the step cache on the mesh: Ql row-sharded, small operands
-    replicated."""
-    row_sharding = NamedSharding(mesh, PartitionSpec("space", None))
+def shard_cache(cache, mesh, distributed_qr=False):
+    """Place the step cache on the mesh: Ql sharded to match the step's
+    covariance layout, small operands replicated."""
+    if distributed_qr:
+        ql_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    else:
+        ql_sharding = NamedSharding(mesh, PartitionSpec("space", None))
     replicated = NamedSharding(mesh, PartitionSpec())
 
     def place(name, value):
         if name == "Ql":
-            return jax.device_put(value, row_sharding)
+            return jax.device_put(value, ql_sharding)
         return jax.device_put(value, replicated)
 
     return type(cache)(**{k: place(k, v) for k, v in cache._asdict().items()})

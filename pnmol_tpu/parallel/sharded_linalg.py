@@ -55,6 +55,104 @@ def tsqr_r(stacked, mesh, axis="space"):
     return fn(stacked)
 
 
+def blocked_qr_r(stacked, mesh, axis="space", panel_size=None, reorthogonalize=True):
+    """Distributed R factor of a squarish row-sharded matrix.
+
+    The sqrt-Kalman pre-array is ``(2D+m) x (m+D)`` — squarish, so plain TSQR
+    degenerates (its gathered per-device R factors are nearly the full
+    matrix). Instead: a right-looking *panel* factorization where each column
+    panel is orthogonalized by CholeskyQR2 (two Gram + Cholesky rounds — all
+    FLOPs are MXU matmuls, communication is one ``psum`` of a (b, b) Gram per
+    round) and the trailing matrix is updated by block Gram-Schmidt (with an
+    optional second pass for stability). Per panel pair the communication is
+    one (b, trailing) ``psum`` — nothing of size O(rows) ever moves.
+
+    Plays the role ScaLAPACK's PDGEQRF plays against the reference's
+    single-device ``jax.scipy.linalg.qr`` (``/root/reference/src/pnmol/base/
+    sqrt.py:21,66``). Returns the upper-triangular ``R`` (cols x cols),
+    replicated; ``R^T R = stacked^T stacked`` exactly (the factor may differ
+    from LAPACK's by row signs — irrelevant downstream, all consumers use
+    the Gram or triangular solves).
+    """
+    rows, cols = stacked.shape
+    axis_size = mesh.shape[axis]
+    if panel_size is None:
+        panel_size = min(cols, 256)
+    # zero-pad rows to a multiple of the axis size (zero rows leave A^T A,
+    # hence R, unchanged)
+    pad = (-rows) % axis_size
+    if pad:
+        stacked = jnp.concatenate(
+            (stacked, jnp.zeros((pad, cols), dtype=stacked.dtype)), axis=0
+        )
+
+    panels = []
+    start = 0
+    while start < cols:
+        panels.append((start, min(start + panel_size, cols)))
+        start += panel_size
+
+    def local_factorize(block):
+        """Runs per device on the local (rows/P, cols) row block."""
+        dtype = block.dtype
+        R = jnp.zeros((cols, cols), dtype=dtype)
+        eps = jnp.finfo(dtype).eps
+
+        def cholqr(panel_block, jitter):
+            """One CholeskyQR round with a relative diagonal jitter.
+
+            The pre-arrays this factorizes can be exactly column-rank
+            deficient (noise-free Dirichlet measurements make the posterior
+            singular along the measured directions), where a plain Cholesky
+            NaNs. CholeskyQR2's algebra makes the round-1 jitter drop out of
+            the final R exactly (R^T R = A^T A + j2 R1^T R1), so round 1
+            takes a large stabilizing jitter and round 2 an O(eps) one —
+            the final Gram bias is O(eps * ||A||^2), the same order as QR
+            roundoff.
+            """
+            b = panel_block.shape[1]
+            gram = jax.lax.psum(panel_block.T @ panel_block, axis)
+            scale = jnp.trace(gram) / b + jnp.asarray(
+                jnp.finfo(dtype).tiny, dtype
+            )
+            gram = gram + (jitter * scale) * jnp.eye(b, dtype=dtype)
+            r = jnp.linalg.cholesky(gram).T  # upper
+            q = jax.scipy.linalg.solve_triangular(
+                r.T, panel_block.T, lower=True
+            ).T
+            return q, r
+
+        for (j0, j1) in panels:
+            panel_block = jax.lax.dynamic_slice_in_dim(block, j0, j1 - j0, axis=1)
+            q, r1 = cholqr(panel_block, jitter=jnp.sqrt(eps))
+            # CholeskyQR2: one refinement round fixes the squared condition
+            q, r2 = cholqr(q, jitter=16.0 * eps)
+            r_panel = r2 @ r1
+            R = jax.lax.dynamic_update_slice(R, r_panel, (j0, j0))
+            if j1 < cols:
+                trailing = jax.lax.dynamic_slice_in_dim(
+                    block, j1, cols - j1, axis=1
+                )
+                proj = jax.lax.psum(q.T @ trailing, axis)
+                trailing = trailing - q @ proj
+                if reorthogonalize:  # BGS2: second projection pass
+                    proj2 = jax.lax.psum(q.T @ trailing, axis)
+                    trailing = trailing - q @ proj2
+                    proj = proj + proj2
+                R = jax.lax.dynamic_update_slice(R, proj, (j0, j1))
+                block = jax.lax.dynamic_update_slice(block, trailing, (0, j1))
+        return R
+
+    fn = shard_map(
+        local_factorize,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs=PartitionSpec(),
+        check_vma=False,
+    )
+    return fn(stacked)
+
+
 def sharded_gram(kernel, points, mesh):
     """Assemble K(X, X) with rows sharded over the mesh's 'space' axis.
 

@@ -26,7 +26,7 @@ import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
 from pnmol_tpu.solvers import pdefilter
-from pnmol_tpu.solvers.white import structured_init_y0
+from pnmol_tpu.solvers.white import point_major_blockdiag, structured_init_y0
 
 
 class LatentSolverCache(NamedTuple):
@@ -207,21 +207,20 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         # dtype-aware nugget (see the note in pnmol_tpu.solvers.white)
         dtype = jnp.asarray(pde.y0).dtype
         nugget_scale = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
-        u0, C0_state_y0 = structured_init_y0(
+        u0, y0_blocks = structured_init_y0(
             gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
         )
 
         # Stacked factor over 2d points (point-major: state points first).
         # The latent prior kron(E_sqrtm, s I_n) is derivative-block-diagonal
-        # with every block s*E_sqrtm, so assemble all blocks directly.
+        # with every block s*E_sqrtm, so each stacked per-derivative block is
+        # blockdiag(state block, s*E_sqrtm) over the (state | latent) points.
         D = d * n
         s = jnp.asarray(self.diffuse_prior_scale, dtype=dtype)
-        C0_block = jnp.zeros((2 * d, n, 2 * d, n), dtype=dtype)
-        C0_state_y0 = C0_state_y0.reshape(d, n, d, n)
-        C0_block = C0_block.at[:d, :, :d, :].set(C0_state_y0)
-        for k in range(n):
-            C0_block = C0_block.at[d:, k, d:, k].set(s * pde.E_sqrtm)
-        C0_block = C0_block.reshape(2 * D, 2 * D)
+        stacked_blocks = [
+            jax.scipy.linalg.block_diag(bk, s * pde.E_sqrtm) for bk in y0_blocks
+        ]
+        C0_block = point_major_blockdiag(stacked_blocks)
 
         # PDE residual at t0: the stacked mean is zero except the state
         # derivative-0 row (= u0), so z collapses to closed form (cf.

@@ -67,10 +67,12 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_derivatives", "f", "df", "linear", "fused")
+    jax.jit,
+    static_argnames=("num_derivatives", "f", "df", "linear", "fused",
+                     "factorization"),
 )
 def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
-                       f, df, linear, fused):
+                       f, df, linear, fused, factorization=None):
     """One white-noise EK1 attempt step (module-level jit: compilations are
     shared across solver instances with the same shapes and statics).
 
@@ -113,7 +115,15 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Predict + update covariance]
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-    if fused:
+    if factorization is not None:
+        # pluggable pre-array factorization (e.g. the distributed blocked QR
+        # in pnmol_tpu.parallel.sharded_linalg); same contract as
+        # sqrt.fused_predict_update
+        HACl = apply_H(ACl)
+        Cl_new, K, Sl = factorization(
+            HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
+        )
+    elif fused:
         # one pre-array QR; HQl is shared with the error estimate above
         HACl = apply_H(ACl)
         Cl_new, K, Sl = sqrt.fused_predict_update(
@@ -142,7 +152,7 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
-                       linear: bool, fused: bool = True):
+                       linear: bool, fused: bool = True, factorization=None):
     """Bind a cache to the shared step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
@@ -152,6 +162,9 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
     (:func:`pnmol_tpu.ops.sqrt.fused_predict_update`) — mathematically
     identical Gram, fewer launches; ``fused=False`` keeps the reference's
     two-QR pipeline (used by the oracle equivalence tests).
+    ``factorization`` overrides the pre-array factorization with a custom
+    callable ``(HACl, ACl, HQl, Ql, R) -> (posterior_factor, gain,
+    innovation_factor)`` — the hook the distributed blocked QR plugs into.
     """
     return functools.partial(
         white_attempt_step,
@@ -161,6 +174,7 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         df=df,
         linear=linear,
         fused=fused,
+        factorization=factorization,
     )
 
 
@@ -200,9 +214,10 @@ def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
     f64 Kronecker product is materialized, which is what capped round 1 at
     N=2048 (reference semantics: ``/root/reference/src/pnmol/white.py:24-39``).
 
-    Returns ``(u0 (d,), C0_y0 (D, D))`` — the conditioned mean's derivative-0
-    row and the dense assembled posterior factor (the step kernel's working
-    set; everything leading up to it stays O(d^2)).
+    Returns ``(u0 (d,), blocks)`` — the conditioned mean's derivative-0 row
+    and the per-derivative factor blocks ``[chol(nugget^2 W), s chol_gram,
+    ...]`` (everything stays O(d^2); assemble the dense working-set factor
+    with :func:`point_major_blockdiag`).
     """
     d = gram.shape[0]
     dtype = gram.dtype
@@ -214,11 +229,27 @@ def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
     # chol(nugget^2 W) = nugget * chol(W): scale outside to keep the factor
     # well inside the dtype's range for tiny nuggets.
     C00 = nugget * jnp.linalg.cholesky(0.5 * (W + W.T))
-    blocks = jnp.zeros((d, n, d, n), dtype=dtype)
-    blocks = blocks.at[:, 0, :, 0].set(C00)
-    for k in range(1, n):
-        blocks = blocks.at[:, k, :, k].set(s * chol_gram)
-    return u0, blocks.reshape(d * n, d * n)
+    return u0, [C00] + [s * chol_gram] * (n - 1)
+
+
+def point_major_blockdiag(blocks):
+    """Assemble a per-derivative block-diagonal operator in point-major layout.
+
+    ``blocks`` is a list of ``n`` matrices ``(d, d)``; the result ``C`` is the
+    ``(D, D)`` matrix with ``C[(i,k), (j,l)] = delta_kl blocks[k][i,j]`` in
+    the point-major flat basis (point index outer, derivative inner).
+
+    Implementation note: built as a derivative-major ``block_diag`` plus a
+    permutation *gather*, keeping every intermediate 2-D. A 4-D
+    ``(d, n, d, n)`` scatter assembly has a tiny trailing axis that TPU tiling
+    pads 3 -> 128 (a 42x HBM blow-up at N=4096 — observed OOM).
+    """
+    n = len(blocks)
+    d = blocks[0].shape[0]
+    bd = jax.scipy.linalg.block_diag(*blocks)  # derivative-major (D, D)
+    idx = jnp.arange(n * d)
+    perm = (idx % n) * d + idx // n
+    return bd[perm][:, perm]
 
 
 class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
@@ -272,9 +303,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         # (white.py:33) is below float32 resolution and NaNs the f32 path.
         dtype = jnp.asarray(pde.y0).dtype
         nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
-        u0, C0_y0 = structured_init_y0(
+        u0, y0_blocks = structured_init_y0(
             gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
         )
+        C0_y0 = point_major_blockdiag(y0_blocks)
 
         # After the y0 update the mean is zero except on derivative 0, so the
         # PDE residual z = H m + [shift; 0] collapses to closed form too

@@ -89,6 +89,68 @@ def test_tsqr_rejects_short_blocks(device_mesh):
         sharded_linalg.tsqr_r(mat, device_mesh)
 
 
+def test_blocked_qr_matches_dense_qr(device_mesh):
+    """Distributed panel QR (CholeskyQR2 + BGS) has the dense R's Gram, even
+    for squarish matrices where TSQR degenerates."""
+    import numpy as np
+
+    rows, cols = 200, 96  # squarish; rows not divisible by the axis (pads)
+    mat = jnp.asarray(np.random.default_rng(1).normal(size=(rows, cols)))
+    R_dist = sharded_linalg.blocked_qr_r(mat, device_mesh, panel_size=32)
+    R_dense = jnp.linalg.qr(mat, mode="r")
+    assert R_dist.shape == (cols, cols)
+    # upper-triangular
+    assert jnp.allclose(R_dist, jnp.triu(R_dist), atol=1e-12)
+    assert jnp.allclose(R_dist.T @ R_dist, R_dense.T @ R_dense, atol=1e-8)
+
+
+def test_blocked_qr_uneven_panels(device_mesh):
+    import numpy as np
+
+    mat = jnp.asarray(np.random.default_rng(2).normal(size=(160, 50)))
+    R_dist = sharded_linalg.blocked_qr_r(mat, device_mesh, panel_size=16)
+    R_dense = jnp.linalg.qr(mat, mode="r")
+    assert jnp.allclose(R_dist.T @ R_dist, R_dense.T @ R_dense, atol=1e-8)
+
+
+def test_space_sharded_step_distributed_qr_matches_unsharded(device_mesh):
+    """The step with the hand-distributed blocked pre-array QR reproduces the
+    single-device step exactly (mean) / in Gram (covariance)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=1.0)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+    )
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    sharded_step = sharded_filter.make_space_sharded_white_step(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh, linear=True,
+        distributed_qr=True, panel_size=16,
+    )
+    with device_mesh:
+        got = sharded_step(
+            state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+        )
+    assert jnp.allclose(got[0], expected[0], atol=1e-9)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-8
+    )
+    # diffusion calibration and error estimate survive the swap
+    assert jnp.allclose(got[4], expected[4], rtol=1e-8)
+    assert jnp.allclose(got[2], expected[2], rtol=1e-6, atol=1e-12)
+    assert len(got[1].addressable_shards) > 1
+
+
 def test_space_sharded_white_step_matches_unsharded(device_mesh):
     from pnmol_tpu.models import examples
     from pnmol_tpu.odetools import step as step_module

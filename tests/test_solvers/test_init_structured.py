@@ -51,7 +51,8 @@ def test_structured_y0_update_matches_dense_oracle(heat, n):
     chol_gram = jnp.linalg.cholesky(gram)
     s, nugget = 1.0, 1e-10
 
-    u0, C_struct = white.structured_init_y0(gram, chol_gram, heat.y0, s, nugget, n)
+    u0, blocks = white.structured_init_y0(gram, chol_gram, heat.y0, s, nugget, n)
+    C_struct = white.point_major_blockdiag(blocks)
     m_oracle, C_oracle = _dense_y0_oracle(gram, chol_gram, heat.y0, s, nugget, n)
 
     d = gram.shape[0]
