@@ -4,8 +4,10 @@ Capability parity with ``/root/reference/src/pnmol/latent.py``: a stacked
 state-space model of two IWPs — the solution prior (Gram-Cholesky diffusion)
 and a latent-force prior (``E_sqrtm`` diffusion) — filtered with *noise-free*
 square-root updates, so the discretization error lives in the state rather
-than the measurement covariance. No error estimate: constant steps only,
-exactly like the reference (``latent.py:218-219``).
+than the measurement covariance. Beyond the reference (which has no error
+estimate and caps these solvers at constant steps, ``latent.py:218-219``),
+the step derives a calibrated ``H Q H^T`` innovation-based error estimate,
+so Adaptive step rules work here too.
 
 TPU-first delta: because both stacked processes share the Nordsieck order,
 the stack collapses to a *single* IWP over ``2d`` "points" with the
@@ -111,11 +113,23 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     z_bc = cache.B @ state_at
     z = jnp.concatenate((z_ode, z_bc))
 
+    # [Error estimate] S = H Q H^T over the *stacked* process noise (state
+    # and latent-force components; there is no measurement noise here), with
+    # the same quasi-MLE sigma scaling as the white solver. The reference
+    # returns None and caps the latent solvers at constant steps
+    # (``/root/reference/src/pnmol/latent.py:218-219``); this estimate is the
+    # adaptive-stepping unlock.
+    HQl = apply_H(cache.Ql)
+    S_err = HQl @ HQl.T
+    S_err_chol = jnp.linalg.cholesky(S_err)
+    whitened_err = jax.scipy.linalg.cho_solve((S_err_chol, True), z)
+    sigma_sq_err = z @ whitened_err / m_dim
+    error = dt * (jnp.sqrt(jnp.diag(S_err)) * jnp.sqrt(sigma_sq_err))[:d]
+
     # [Predict + update covariance] (noise-free measurement)
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
     if fused:
         HACl = apply_H(ACl)
-        HQl = apply_H(cache.Ql)
         zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
         Cl_new, K, Sl = sqrt.fused_predict_update(
             HACl, ACl, HQl, cache.Ql, zeros_R
@@ -134,9 +148,7 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     # [Un-precondition]
     M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
     C_new = iwp.scale_stack(p, Cl_new)
-    # Latent solvers carry no error estimate (constant steps only).
-    zero_err = jnp.zeros((d,), dtype=M_new.dtype)
-    return M_new, C_new, zero_err, jnp.abs(M_new[0, :d]), diffusion_sq
+    return M_new, C_new, error, jnp.abs(M_new[0, :d]), diffusion_sq
 
 
 
@@ -153,7 +165,10 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
 
     @property
     def supports_adaptive_steps(self):
-        return False
+        # Beyond the reference (which returns error_estimate=None and caps
+        # the latent solvers at constant steps): the latent step derives a
+        # calibrated H Q H^T error estimate, enabling Adaptive step rules.
+        return True
 
     @property
     def E0(self):
@@ -286,14 +301,14 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         return self._step_fn
 
     def attempt_step(self, state, dt, pde):
-        mean, cov, _, reference, diff_sq = self._step_fn(
+        mean, cov, error, reference, diff_sq = self._step_fn(
             state.y.mean, state.y.cov_sqrtm, state.t + dt, jnp.asarray(dt)
         )
         new_state = pdefilter.PDEFilterState(
             t=state.t + dt,
             y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov),
-            error_estimate=None,
-            reference_state=None,
+            error_estimate=error,
+            reference_state=reference,
             diffusion_squared_local=diff_sq,
         )
         return new_state, dict(num_f_evaluations=1, num_df_evaluations=1)

@@ -141,9 +141,30 @@ def test_adaptive_jit_solve_matches_generator():
         make().solve(pde, max_steps=2)
 
 
-def test_latent_rejects_nothing_but_supports_constant_only():
-    solver = latent.LinearLatentForceEK1(steprule=step.Constant(dt=0.1), spatial_kernel=PRIOR)
-    assert not solver.supports_adaptive_steps
+def test_latent_supports_adaptive_steps():
+    """Beyond the reference: the latent solvers carry an H Q H^T error
+    estimate, so Adaptive step rules work (the reference caps them at
+    constant steps, latent.py:218-219)."""
+    pde = _heat("dirichlet")
+    solver = latent.LinearLatentForceEK1(
+        steprule=step.Adaptive(abstol=1e-3, reltol=1e-3), spatial_kernel=PRIOR
+    )
+    assert solver.supports_adaptive_steps
+    final, info = solver.simulate_final_state(pde)
+    assert jnp.isclose(final.t, pde.tmax)
+    assert not jnp.any(jnp.isnan(final.y.mean))
+    assert info["num_steps"] >= 1
+    assert info["num_attempted_steps"] >= info["num_steps"]
+
+    # accuracy sanity: adaptive trajectory close to a fine constant solve
+    fine = latent.LinearLatentForceEK1(
+        steprule=step.Constant(dt=0.01), spatial_kernel=PRIOR
+    )
+    final_fine, _ = fine.simulate_final_state(pde)
+    d = pde.L.shape[0]
+    assert jnp.allclose(
+        final.y.mean[0, :d], final_fine.y.mean[0, :d], atol=5e-2
+    )
 
 
 def test_stop_at_hits_requested_time():
