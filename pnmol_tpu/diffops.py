@@ -122,6 +122,21 @@ def gradient_by_dimension(output_coordinate=0):
     return DifferentialOperator(transform)
 
 
+def directional_derivative(direction):
+    """Advection operator ``v . grad(.)`` with a constant velocity ``v``.
+
+    Beyond the reference factory set: needed for the advection-diffusion
+    model family (BASELINE.md's 3-D N=1e5 scale configuration).
+    """
+    v = jnp.asarray(direction)
+
+    def transform(fun, argnums=0):
+        grad_fun = gradient()(fun, argnums=argnums)
+        return lambda *args: jnp.dot(v, grad_fun(*args))
+
+    return DifferentialOperator(transform)
+
+
 def laplace():
     """Laplace operator, implemented as divergence(gradient(.))."""
 

@@ -139,21 +139,32 @@ class RectangularMesh(Mesh):
         return cls(grid.reshape(-1, 1))
 
     @classmethod
-    def from_bbox_2d(cls, bbox, steps=None, nums=None):
-        bbox = np.asarray(bbox, dtype=np.float64)
+    def from_bbox_nd(cls, bbox, steps=None, nums=None):
+        """Tensor-product grid over an n-dimensional bounding box."""
+        bbox = np.asarray(bbox, dtype=np.float64).reshape(-1, 2)
+        dim = bbox.shape[0]
         if (steps is None) == (nums is None):
             raise ValueError("Provide exactly one of steps or nums.")
         if steps is not None:
             nums = tuple(
-                int((bbox[d, 1] - bbox[d, 0]) / steps[d]) + 1 for d in range(2)
+                int((bbox[d, 1] - bbox[d, 0]) / steps[d]) + 1 for d in range(dim)
             )
         axes = [
             np.linspace(bbox[d, 0], bbox[d, 1], num=nums[d], endpoint=True)
-            for d in range(2)
+            for d in range(dim)
         ]
-        grid0, grid1 = np.meshgrid(axes[0], axes[1], indexing="ij")
-        points = np.stack((grid0.reshape(-1), grid1.reshape(-1)), axis=-1)
+        grids = np.meshgrid(*axes, indexing="ij")
+        points = np.stack([g.reshape(-1) for g in grids], axis=-1)
         return cls(points)
+
+    @classmethod
+    def from_bbox_2d(cls, bbox, steps=None, nums=None):
+        return cls.from_bbox_nd(bbox, steps=steps, nums=nums)
+
+    @classmethod
+    def from_bbox_3d(cls, bbox, steps=None, nums=None):
+        """3-D tensor grid (the BASELINE.md N=1e5 advection-diffusion path)."""
+        return cls.from_bbox_nd(bbox, steps=steps, nums=nums)
 
     def neighbours(self, point, num):
         """k nearest mesh points for each query point (host-side, setup only)."""

@@ -153,6 +153,93 @@ def heat_2d_discretized(
     return heat
 
 
+def advection_diffusion(
+    *,
+    dim=2,
+    bbox=None,
+    t0=0.0,
+    tmax=1.0,
+    y0_fun=None,
+    diffusion_rate=0.05,
+    velocity=None,
+):
+    """Linear advection-diffusion ``u_t = kappa lap(u) - v . grad(u)``.
+
+    Beyond the reference's (all-1-D, diffusion-only) model zoo: this is the
+    BASELINE.md scale family ("3-D advection-diffusion N=1e5"), built from
+    the same diffop algebra (``scalar_mult(kappa) o laplace - v . grad``)
+    and the generic n-D discretization path. Dirichlet boundaries.
+    """
+    if bbox is None:
+        bbox = [[0.0, 1.0]] * dim
+    bbox = jnp.asarray(bbox)
+    if velocity is None:
+        velocity = [1.0] * dim
+
+    if y0_fun is None:
+
+        def y0_fun(x):
+            bump = jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+            return bump[..., None]
+
+    diffop = diffops.scalar_mult(diffusion_rate).compose_with(
+        diffops.laplace()
+    ) - diffops.directional_derivative(velocity)
+    return problems.LinearEvolutionDirichlet(
+        diffop=diffop,
+        diffop_scale=1.0,
+        bbox=bbox,
+        t0=t0,
+        tmax=tmax,
+        y0_fun=y0_fun,
+    )
+
+
+def advection_diffusion_discretized(
+    *,
+    dim=2,
+    bbox=None,
+    num_points=None,
+    stencil_size_interior=None,
+    stencil_size_boundary=None,
+    t0=0.0,
+    tmax=1.0,
+    y0_fun=None,
+    diffusion_rate=0.05,
+    velocity=None,
+    nugget_gram_matrix_fd=1e-12,
+    kernel=None,
+):
+    """Discretized advection-diffusion in ``dim`` spatial dimensions.
+
+    Stencil defaults follow the tensor-grid neighbor structure: 3^dim-ish
+    interior stencils capture the full mixed-derivative neighborhood.
+    """
+    if num_points is None:
+        num_points = (12,) * dim
+    if stencil_size_interior is None:
+        stencil_size_interior = {1: 3, 2: 9, 3: 11}.get(dim, 2 * dim + 1)
+    if stencil_size_boundary is None:
+        stencil_size_boundary = {1: 3, 2: 5, 3: 7}.get(dim, dim + 2)
+    pde = advection_diffusion(
+        dim=dim,
+        bbox=bbox,
+        t0=t0,
+        tmax=tmax,
+        y0_fun=y0_fun,
+        diffusion_rate=diffusion_rate,
+        velocity=velocity,
+    )
+    pde.discretize(
+        mesh_spatial=mesh.RectangularMesh.from_bbox_nd(pde.bbox, nums=num_points),
+        kernel=kernel if kernel is not None else kernels.SquareExponential(),
+        stencil_size_interior=stencil_size_interior,
+        stencil_size_boundary=stencil_size_boundary,
+        nugget_gram_matrix=nugget_gram_matrix_fd,
+    )
+    return pde
+
+
 # ---------------------------------------------------------------------------
 # SIR reaction-diffusion system (3 species, semilinear)
 # ---------------------------------------------------------------------------
