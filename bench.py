@@ -37,7 +37,7 @@ CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 FUSED = os.environ.get("PNMOL_BENCH_FUSED", "1") == "1"
 MATMUL_PRECISION = os.environ.get("PNMOL_BENCH_MATMUL_PRECISION", "default")
-NU = 2
+NU = int(os.environ.get("PNMOL_BENCH_NU", "2"))
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. f32 work on the MXU runs
 # through multi-pass bf16, so MFU is reported against the bf16 peak.

@@ -19,6 +19,7 @@ import abc
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental.jet import jet
 
 from pnmol_tpu.ops import iwp, kalman, sqrt
@@ -106,8 +107,11 @@ class Stack(InitializationRoutine):
 # ---------------------------------------------------------------------------
 
 # Dormand-Prince 5(4) Butcher tableau (the classic RK45 pair's 5th-order row).
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
-_DP_A = jnp.array(
+# Host numpy constants: module-level jnp arrays would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (the
+# multi-host seam requires the library to be importable first).
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.array(
     [
         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
         [1 / 5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
@@ -118,7 +122,7 @@ _DP_A = jnp.array(
         [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0],
     ]
 )
-_DP_B = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
 
 
 def rk_step_dopri5(f, t, y, dt):

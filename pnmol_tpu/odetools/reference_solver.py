@@ -14,11 +14,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pnmol_tpu.odetools.init import _DP_A, _DP_B, _DP_C
 
 # 4th-order embedded weights of the Dormand-Prince pair.
-_DP_B4 = jnp.array(
+# host numpy: keep import time backend-free (see odetools.init note)
+_DP_B4 = np.array(
     [
         5179 / 57600,
         0.0,

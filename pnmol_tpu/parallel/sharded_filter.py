@@ -72,20 +72,22 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
         factorization = None
         cov_sharding = NamedSharding(mesh, PartitionSpec("space", None))
 
-    inner = white_module.make_white_step_fn(
-        cache=cache, num_derivatives=num_derivatives, f=f, df=df,
-        linear=linear, factorization=factorization,
-    )
-
     @jax.jit
-    def step(mean, cov, t_next, dt):
+    def step(cache_arg, mean, cov, t_next, dt):
+        # cache enters as a call-time argument, never a closure: multi-host
+        # (process-spanning) arrays cannot be closed over, and traced
+        # arguments also avoid XLA constant-folding the cache products.
         mean = jax.lax.with_sharding_constraint(mean, replicated)
         cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
-        new_mean, new_cov, err, ref, diff = inner(mean, cov, t_next, dt)
+        new_mean, new_cov, err, ref, diff = white_module.white_attempt_step(
+            cache_arg, mean, cov, t_next, dt,
+            num_derivatives=num_derivatives, f=f, df=df, linear=linear,
+            fused=True, factorization=factorization,
+        )
         new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding)
         return new_mean, new_cov, err, ref, diff
 
-    return step
+    return functools.partial(step, cache)
 
 
 def shard_cache(cache, mesh, distributed_qr=False):
