@@ -129,10 +129,38 @@ def empty_result():
     }
 
 
+def _load_existing():
+    """Rows already on disk (for PNMOL_FIG3_MERGE=1: compute only missing
+    dx levels and merge — the fine levels are hours on this 1-core host)."""
+    import pathlib
+
+    base = pathlib.Path(__file__).resolve().parent / "results" / "figure3"
+    keys = ("error_abs", "error_rel", "std", "runtime", "chi2", "dt", "dx")
+    try:
+        white = {k: np.load(base / f"pnmol_white_{k}.npy") for k in keys}
+        mol = {k: np.load(base / f"tornadox_{k}.npy") for k in keys}
+    except FileNotFoundError:
+        return None, None
+    if white["dt"].shape[1] != len(DTS):
+        return None, None
+    return white, mol
+
+
 def main():
     result_white, result_mol = empty_result(), empty_result()
+    existing_white, existing_mol = (None, None)
+    if os.environ.get("PNMOL_FIG3_MERGE", "0") == "1":
+        existing_white, existing_mol = _load_existing()
 
     for i_dx, dx in enumerate(sorted(DXS)):
+        if existing_white is not None:
+            rows = np.nonzero(np.isclose(existing_white["dx"][:, 0], dx))[0]
+            if rows.size:
+                for key in result_white:
+                    result_white[key][i_dx] = existing_white[key][rows[0]]
+                    result_mol[key][i_dx] = existing_mol[key][rows[0]]
+                print(f"dx={dx:.4f}: reused existing row")
+                continue
         pde = make_sir(dx, STENCIL_SIZE + 2)
         # susceptible reference restricted to interior for MOL comparison
         ref = solve_reference(dx)

@@ -1,0 +1,161 @@
+"""Scale demonstration: 2-D diffusion at N=1e4 grid points (BASELINE.md).
+
+Runs the full pipeline — mesh, dx-adapted FD assembly, structured init,
+f32 stepping — on the accelerator, and separately times Gram assembly
+(Pallas kernel vs the XLA jnp path). Results are recorded in docs/SCALE.md.
+
+Usage (f32 end-to-end; run under the X32 policy):
+    PNMOL_TPU_X32=1 python experiments/scale_demo.py step --n 100 --nu 1
+    PNMOL_TPU_X32=1 python experiments/scale_demo.py gram --n 10000
+
+Prints one JSON line per measurement.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    return x
+
+
+def demo_step(n_side, nu, num_steps, fused):
+    import pnmol_tpu
+    from pnmol_tpu import discretize, kernels
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white as white_module
+
+    t0 = time.perf_counter()
+    dx = 1.0 / (n_side - 1)
+    heat = pnmol_tpu.pde.examples.heat_2d_discretized(
+        num_points=(n_side, n_side),
+        kernel=kernels.SquareExponential(input_scale=0.15 / dx),
+        stencil_size_interior=5,
+        stencil_size_boundary=5,
+        nugget_gram_matrix_fd=1e-10,
+        tmax=1.0,
+    )
+    build_s = time.perf_counter() - t0
+    d = heat.L.shape[0]
+
+    t0 = time.perf_counter()
+    solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=1e-3),
+        num_derivatives=nu,
+        spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+    _sync(state.y.cov_sqrtm)
+    init_s = time.perf_counter() - t0
+
+    cache = solver._cache
+    dt = jnp.asarray(1e-3, state.y.mean.dtype)
+
+    @jax.jit
+    def run(cache, mean, cov):
+        def body(carry, t):
+            m, c = carry
+            m, c, _, _, _ = white_module.white_attempt_step(
+                cache, m, c, t, dt,
+                num_derivatives=nu, f=None, df=None, linear=True, fused=fused,
+            )
+            return (m, c), None
+
+        ts = jnp.arange(1, num_steps + 1, dtype=dt.dtype) * dt
+        return jax.lax.scan(body, (mean, cov), ts)[0]
+
+    t0 = time.perf_counter()
+    out = run(cache, state.y.mean, state.y.cov_sqrtm)
+    _sync(out)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = run(cache, state.y.mean, state.y.cov_sqrtm)
+    _sync(out)
+    steps_per_sec = num_steps / (time.perf_counter() - t0)
+
+    mean_final = out[0]
+    nan_free = not bool(jnp.any(jnp.isnan(mean_final)))
+    decayed = float(jnp.abs(mean_final[0]).max()) < float(
+        jnp.abs(state.y.mean[0]).max()
+    )
+    print(json.dumps({
+        "demo": "heat2d_step",
+        "grid": [n_side, n_side],
+        "N": d,
+        "state_dim": d * (nu + 1),
+        "nu": nu,
+        "dtype": str(state.y.mean.dtype),
+        "device": str(jax.devices()[0]),
+        "fused_qr": fused,
+        "steps_per_sec": round(steps_per_sec, 4),
+        "build_seconds": round(build_s, 2),
+        "init_seconds": round(init_s, 2),
+        "compile_seconds": round(compile_s, 2),
+        "nan_free": nan_free,
+        "heat_decays": decayed,
+    }))
+
+
+def demo_gram(n_points, input_scale):
+    """Pallas tiled Gram kernel vs the XLA jnp path at (N, N)."""
+    import numpy as np
+
+    from pnmol_tpu.ops import pallas_gram
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(size=(n_points, 2)), dtype=jnp.float32)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def time_fn(fn, *args, **kwargs):
+        out = _sync(fn(*args, **kwargs))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(fn(*args, **kwargs))
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_jnp, g_jnp = time_fn(
+        pallas_gram.gram_fast_jnp, pts, pts,
+        input_scale, 1.0, phi_name="matern52",
+    )
+    result = {
+        "demo": "gram_assembly",
+        "N": n_points,
+        "device": str(jax.devices()[0]),
+        "xla_jnp_seconds": round(t_jnp, 4),
+        "gbytes_out": round(n_points * n_points * 4 / 1e9, 2),
+    }
+    if on_tpu:
+        t_pal, g_pal = time_fn(
+            pallas_gram.gram_radial, pts, pts,
+            input_scale, 1.0, phi_name="matern52",
+        )
+        result["pallas_seconds"] = round(t_pal, 4)
+        result["pallas_speedup_vs_xla"] = round(t_jnp / t_pal, 3)
+        result["max_abs_diff"] = float(jnp.max(jnp.abs(g_pal - g_jnp)))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("mode", choices=["step", "gram"])
+    parser.add_argument("--n", type=int, default=100,
+                        help="grid side (step mode) or total points (gram)")
+    parser.add_argument("--nu", type=int, default=1)
+    parser.add_argument("--steps", type=int, default=4)
+    parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--input-scale", type=float, default=5.0)
+    args = parser.parse_args()
+    if args.mode == "step":
+        demo_step(args.n, args.nu, args.steps, args.fused)
+    else:
+        demo_gram(args.n, args.input_scale)

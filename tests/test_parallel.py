@@ -151,6 +151,39 @@ def test_space_sharded_step_distributed_qr_matches_unsharded(device_mesh):
     assert len(got[1].addressable_shards) > 1
 
 
+def test_space_sharded_step_distributed_qr_2d(device_mesh):
+    """The BASELINE.md scale family (2-D diffusion) through the distributed
+    blocked QR: shard-exact vs the single-device step."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_2d_discretized(num_points=(8, 8), tmax=1.0)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.01),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.01), jnp.asarray(0.01)
+    )
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    sharded_step = sharded_filter.make_space_sharded_white_step(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh, linear=True,
+        distributed_qr=True, panel_size=32,
+    )
+    with device_mesh:
+        got = sharded_step(
+            state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.01), jnp.asarray(0.01)
+        )
+    assert jnp.allclose(got[0], expected[0], atol=1e-9)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-8
+    )
+
+
 def test_space_sharded_white_step_matches_unsharded(device_mesh):
     from pnmol_tpu.models import examples
     from pnmol_tpu.odetools import step as step_module
