@@ -104,6 +104,51 @@ def solve_white(pde, dt):
     return i_mean, i_std, i_cov, elapsed
 
 
+def solve_white_ensemble(pde, dts):
+    """All PNMOL-white dts of one dx as ONE padded vmapped scan
+    (pnmol_tpu.parallel.ensembles.dt_sweep_final_states): the dp wiring of
+    SURVEY §2.2 item 4. Per-dt wall-clock is not individually observable in
+    a batch, so runtime is reported as batch total / number of lanes."""
+    from pnmol_tpu.parallel import ensembles
+
+    solver = pnmol_tpu.white.SemiLinearWhiteNoiseEK1(
+        num_derivatives=NUM_DERIVATIVES,
+        steprule=step_module.Constant(dts[0]),
+        spatial_kernel=PRIOR_KERNEL,
+    )
+    state = solver.initialize(pde)
+    (means, covs, _), elapsed = common.timed(
+        ensembles.dt_sweep_final_states,
+        cache=solver._cache,
+        num_derivatives=NUM_DERIVATIVES,
+        f=pde.f,
+        df=pde.df,
+        linear=False,
+        mean0=state.y.mean,
+        cov0=state.y.cov_sqrtm,
+        t0=pde.t0,
+        tmax=pde.tmax,
+        dts=dts,
+    )
+    E0 = solver.iwp.projection_matrix(0)
+    per_dt = []
+    for i in range(len(dts)):
+        final = type(state)(
+            t=state.t,
+            y=state.y._replace(mean=means[i], cov_sqrtm=covs[i]),
+            error_estimate=None,
+            reference_state=None,
+            diffusion_squared_local=state.diffusion_squared_local,
+        )
+        mean, std, cov = common.final_mean_std_cov(final, E0)
+        i_mean = jnp.split(mean, 3)[0][1:-1]
+        i_std = jnp.split(std, 3)[0][1:-1]
+        blocks = [jnp.split(row, 3, axis=1) for row in jnp.split(cov, 3, axis=0)]
+        i_cov = blocks[0][0][1:-1, 1:-1]
+        per_dt.append((i_mean, i_std, i_cov, elapsed / len(dts)))
+    return per_dt
+
+
 def solve_mol(pde, dt):
     ivp = pde.to_ivp()
     solver = ek1_module.ReferenceEK1ConstantDiffusion(
@@ -164,10 +209,18 @@ def main():
         pde = make_sir(dx, STENCIL_SIZE + 2)
         # susceptible reference restricted to interior for MOL comparison
         ref = solve_reference(dx)
+        white_batch = (
+            solve_white_ensemble(pde, sorted(DTS))
+            if "--ensemble-dts" in sys.argv
+            else None
+        )
         for i_dt, dt in enumerate(sorted(DTS)):
             print(f"dx={dx:.4f} dt={dt:.4f} (d={pde.y0.size})")
 
-            m_w, s_w, c_w, t_w = solve_white(pde, dt)
+            if white_batch is not None:
+                m_w, s_w, c_w, t_w = white_batch[i_dt]
+            else:
+                m_w, s_w, c_w, t_w = solve_white(pde, dt)
             err_w = jnp.abs(m_w - ref)
             result_white["error_abs"][i_dx, i_dt] = common.rmse(err_w)
             result_white["error_rel"][i_dx, i_dt] = common.rmse(err_w, ref)

@@ -12,8 +12,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from pnmol_tpu.solvers.white import make_white_step_fn
+from pnmol_tpu.solvers import pdefilter
+from pnmol_tpu.solvers.white import make_white_step_fn, white_attempt_step
 
 
 class EnsembleState(NamedTuple):
@@ -60,3 +62,93 @@ def make_ensemble_step_fn(*, num_derivatives, f, df, linear, mesh=None):
         return batched(cache, mean, cov, t_next, dt)
 
     return sharded_step
+
+
+def dt_sweep_final_states(*, cache, num_derivatives, f, df, linear,
+                          mean0, cov0, t0, tmax, dts, mesh=None):
+    """All constant-step solves of ONE problem over a dt ladder, as one
+    padded vmapped scan (the figure-3 dt-sweep shape, SURVEY.md §2.2 item 4).
+
+    Every lane shares the cache (broadcast, not stacked) and runs its own
+    constant schedule; schedules are padded to the longest lane and padded
+    steps are masked out (they compute with the lane's real dt and are
+    discarded — no dt=0 ever reaches the preconditioner).
+
+    Wall-clock = one scan of max-length over E lanes. On a multi-device
+    'batch' axis the lanes advance in parallel, so the sweep costs about one
+    finest-dt solve; on a single device the padding is wasted work versus a
+    sequential loop (lane lengths of a geometric ladder sum to ~2x the
+    longest) — use this on meshes, the host loop on one core.
+
+    Returns ``(means (E, n, d), cov_sqrtms (E, D, D), diffusion_sq (E,))``
+    with the covariance factors already calibration-scaled, matching
+    ``simulate_final_state`` semantics.
+    """
+    dts = [float(dt) for dt in dts]
+    schedules = [
+        pdefilter.constant_step_schedule(t0, tmax, dt) for dt in dts
+    ]
+    lengths = [len(d) for _, d in schedules]
+    max_len = max(lengths)
+    E = len(dts)
+    dtype = mean0.dtype
+
+    ts_next = np.zeros((E, max_len))
+    dts_pad = np.zeros((E, max_len))
+    mask = np.zeros((E, max_len), dtype=bool)
+    for i, (ts, ds) in enumerate(schedules):
+        ts_next[i, : lengths[i]] = ts + ds
+        dts_pad[i, : lengths[i]] = ds
+        # padded steps reuse the lane's dt (masked out below)
+        ts_next[i, lengths[i]:] = ts[-1] + ds[-1]
+        dts_pad[i, lengths[i]:] = ds[-1]
+        mask[i, : lengths[i]] = True
+
+    ts_next = jnp.asarray(ts_next.T, dtype=dtype)  # (L, E)
+    dts_pad = jnp.asarray(dts_pad.T, dtype=dtype)
+    mask_arr = jnp.asarray(mask.T)
+
+    def single(mean, cov, t_next, dt):
+        return white_attempt_step(
+            cache, mean, cov, t_next, dt,
+            num_derivatives=num_derivatives, f=f, df=df, linear=linear,
+            fused=True,
+        )
+
+    lane_step = jax.vmap(single, in_axes=(0, 0, 0, 0))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        shard = NamedSharding(mesh, PartitionSpec("batch"))
+    else:
+        shard = None
+
+    @jax.jit
+    def sweep(mean_b, cov_b):
+        def body(carry, xs):
+            mean, cov, diff_sum = carry
+            t_next, dt, live = xs
+            new_mean, new_cov, _, _, diff = lane_step(mean, cov, t_next, dt)
+            keep = live[:, None, None]
+            mean = jnp.where(keep, new_mean, mean)
+            cov = jnp.where(keep, new_cov, cov)
+            diff_sum = diff_sum + jnp.where(live, diff, 0.0)
+            return (mean, cov, diff_sum), None
+
+        if shard is not None:
+            mean_b = jax.lax.with_sharding_constraint(mean_b, shard)
+            cov_b = jax.lax.with_sharding_constraint(cov_b, shard)
+        diff0 = jnp.zeros((E,), dtype=dtype)
+        (mean, cov, diff_sum), _ = jax.lax.scan(
+            body, (mean_b, cov_b, diff0), (ts_next, dts_pad, mask_arr)
+        )
+        return mean, cov, diff_sum
+
+    mean_b = jnp.broadcast_to(mean0[None], (E,) + mean0.shape)
+    cov_b = jnp.broadcast_to(cov0[None], (E,) + cov0.shape)
+    mean, cov, diff_sum = sweep(mean_b, cov_b)
+    n_steps = jnp.asarray(lengths, dtype=dtype)
+    diffusion = diff_sum / n_steps
+    cov_scaled = cov * jnp.sqrt(diffusion)[:, None, None]
+    return mean, cov_scaled, diffusion

@@ -215,6 +215,42 @@ def test_space_sharded_white_step_matches_unsharded(device_mesh):
     assert len(got[1].addressable_shards) > 1  # actually sharded output
 
 
+def test_dt_sweep_matches_sequential_final_states(device_mesh):
+    """The padded vmapped dt sweep reproduces each sequential constant-step
+    simulate_final_state (the figure-3 sweep shape, one scan for all dts)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.parallel import ensembles
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=0.125, tmax=1.0)
+    dts = [0.5, 0.2, 0.09]
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dts[0]),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+
+    means, covs, diffusion = ensembles.dt_sweep_final_states(
+        cache=solver._cache, num_derivatives=2, f=None, df=None, linear=True,
+        mean0=state.y.mean, cov0=state.y.cov_sqrtm,
+        t0=heat.t0, tmax=heat.tmax, dts=dts, mesh=device_mesh,
+    )
+    for i, dt in enumerate(dts):
+        seq = white.LinearWhiteNoiseEK1(
+            steprule=step_module.Constant(dt),
+            spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        )
+        final, _ = seq.simulate_final_state(heat)
+        assert jnp.allclose(means[i], final.y.mean, atol=1e-10), f"dt={dt}"
+        assert jnp.allclose(diffusion[i], final.diffusion_squared_local, rtol=1e-9)
+        assert jnp.allclose(
+            covs[i] @ covs[i].T,
+            final.y.cov_sqrtm @ final.y.cov_sqrtm.T,
+            atol=1e-9,
+        )
+
+
 def test_ensemble_step_matches_sequential(device_mesh):
     """Vmapped+sharded ensemble step == per-member sequential steps."""
     from pnmol_tpu import pde as pde_module
