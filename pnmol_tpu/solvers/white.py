@@ -69,10 +69,11 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("num_derivatives", "f", "df", "linear", "fused",
-                     "factorization"),
+                     "factorization", "meascov_dt_scaled"),
 )
 def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
-                       f, df, linear, fused, factorization=None):
+                       f, df, linear, fused, factorization=None,
+                       meascov_dt_scaled=False):
     """One white-noise EK1 attempt step (module-level jit: compilations are
     shared across solver instances with the same shapes and statics).
 
@@ -84,6 +85,17 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     d = mean.shape[1]
     m_dim = d + cache.B.shape[0]
     p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+
+    # Optional dt-scaled measurement noise: treat the discretization error as
+    # a white noise in *time* with spectral density E E^T, so each step's
+    # measurement covariance is dt * E E^T (factor sqrt(dt) E). The
+    # reference's fixed per-step E (white.py:169-186) makes very small steps
+    # counterproductive on nonlinear problems — the documented PNMOL-white
+    # floor (tests/test_solvers/test_convergence.py); this variant removes
+    # the floor at the cost of deviating from the paper's calibration.
+    E_bc = cache.E_bc_sqrtm
+    if meascov_dt_scaled:
+        E_bc = jnp.sqrt(dt) * E_bc
 
     # [Precondition]
     M = mean * p_inv[:, None]
@@ -106,7 +118,7 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     # S is SPD: solve via Cholesky (TPU-friendly; LU is not supported in
     # f64 on TPU and slower in any case).
     HQl = apply_H(cache.Ql)
-    S = HQl @ HQl.T + cache.E_bc_sqrtm @ cache.E_bc_sqrtm.T
+    S = HQl @ HQl.T + E_bc @ E_bc.T
     S_chol = jnp.linalg.cholesky(S)
     whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
     sigma_squared = z @ whitened / m_dim
@@ -120,19 +132,17 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         # in pnmol_tpu.parallel.sharded_linalg); same contract as
         # sqrt.fused_predict_update
         HACl = apply_H(ACl)
-        Cl_new, K, Sl = factorization(
-            HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
-        )
+        Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, E_bc)
     elif fused:
         # one pre-array QR; HQl is shared with the error estimate above
         HACl = apply_H(ACl)
         Cl_new, K, Sl = sqrt.fused_predict_update(
-            HACl, ACl, HQl, cache.Ql, cache.E_bc_sqrtm
+            HACl, ACl, HQl, cache.Ql, E_bc
         )
     else:
         Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
         HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, cache.E_bc_sqrtm)
+        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, E_bc)
     m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
     # [Calibrate] local diffusion from the whitened residual: the true
@@ -152,7 +162,8 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
-                       linear: bool, fused: bool = True, factorization=None):
+                       linear: bool, fused: bool = True, factorization=None,
+                       meascov_dt_scaled: bool = False):
     """Bind a cache to the shared step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
@@ -175,6 +186,7 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         linear=linear,
         fused=fused,
         factorization=factorization,
+        meascov_dt_scaled=meascov_dt_scaled,
     )
 
 
@@ -253,9 +265,20 @@ def point_major_blockdiag(blocks):
 
 
 class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
-    """Shared initialization and step plumbing of the white-noise solvers."""
+    """Shared initialization and step plumbing of the white-noise solvers.
+
+    ``meascov_dt_scaled=True`` treats the discretization error as a white
+    noise in time (per-step measurement covariance ``dt * E E^T``), removing
+    the reference's small-dt accuracy floor on nonlinear problems at the
+    cost of deviating from the paper's calibration. Default off (reference
+    semantics).
+    """
 
     LINEAR: bool = True
+
+    def __init__(self, *args, meascov_dt_scaled=False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.meascov_dt_scaled = meascov_dt_scaled
 
     @property
     def E0(self):
@@ -294,6 +317,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             f=f,
             df=df,
             linear=self.LINEAR,
+            meascov_dt_scaled=self.meascov_dt_scaled,
         )
 
         # [Init mean/cov] diffuse prior, then two sqrt updates: on y0 (in
