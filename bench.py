@@ -101,17 +101,23 @@ def _child(mode: str) -> None:
         (m, c), _ = jax.lax.scan(body, (mean, cov), ts)
         return m, c
 
+    def _force(out):
+        # pull a data-dependent scalar: on the remote-execution relay,
+        # block_until_ready alone can return before the work completes
+        jax.block_until_ready(out)
+        return float(jnp.sum(out[0]))
+
     with jax.default_matmul_precision(MATMUL_PRECISION):
         t_compile0 = time.perf_counter()
         out = run(cache, mean, cov)  # compile + warmup
-        jax.block_until_ready(out)
+        _force(out)
         compile_s = time.perf_counter() - t_compile0
 
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             out = run(cache, mean, cov)
-            jax.block_until_ready(out)
+            _force(out)
             best = min(best, time.perf_counter() - t0)
 
     assert not bool(jnp.any(jnp.isnan(out[0]))), "bench produced NaNs"

@@ -69,16 +69,21 @@ def make_sir(dx, stencil_boundary):
 
 
 def solve_reference(dx):
-    """High-res ground truth at tmax: susceptible compartment, coarse interior."""
+    """High-res ground truth at tmax: susceptible compartment, coarse interior.
+
+    LSODA (host scipy, like the reference figure3.py:22-24): the 10x-refined
+    system is stiff; explicit DP5 exhausts its step budget at dx <= 1/64.
+    """
     pde_ref = make_sir(dx / HIGH_RES_FACTOR_DX, STENCIL_SIZE + 1)
     ivp = pde_ref.to_ivp()
-    sol = reference_solver.solve_ivp_dopri5(
+    sol = reference_solver.solve_ivp_stiff(
         jax.jit(ivp.f),
         ivp.t_span,
         ivp.y0,
         t_eval=jnp.asarray([pde_ref.tmax]),
         rtol=1e-10,
         atol=1e-10,
+        jac=jax.jit(ivp.df) if getattr(ivp, "df", None) is not None else None,
     )
     mean = sol.y[-1]
     i_mean = jnp.split(mean, 3)[0]

@@ -55,16 +55,22 @@ def make_lv(dx, **kwargs):
 
 
 def solve_reference(dx):
-    """High-res prey compartment at tmax on the coarse interior grid."""
+    """High-res prey compartment at tmax on the coarse interior grid.
+
+    LSODA (host scipy, like the reference figure4.py:35-43): the high-res
+    system is stiff (diffusion eigenvalue ~ (dx/7)^-2) — explicit DP5 would
+    need ~1e5+ steps at dx=0.01.
+    """
     pde_ref = make_lv(dx / REF_SCALE)
     ivp = pde_ref.to_ivp()
-    sol = reference_solver.solve_ivp_dopri5(
+    sol = reference_solver.solve_ivp_stiff(
         jax.jit(ivp.f),
         ivp.t_span,
         ivp.y0,
         t_eval=jnp.asarray([ivp.tmax]),
         rtol=1e-10,
         atol=1e-10,
+        jac=jax.jit(ivp.df) if getattr(ivp, "df", None) is not None else None,
     )
     u_full, v_full = jnp.split(sol.y[-1], 2)
     return u_full[REF_SCALE - 1 :: REF_SCALE], v_full[REF_SCALE - 1 :: REF_SCALE]

@@ -115,11 +115,15 @@ def demo_gram(n_points, input_scale):
     on_tpu = jax.devices()[0].platform != "cpu"
 
     def time_fn(fn, *args, **kwargs):
-        out = _sync(fn(*args, **kwargs))  # compile
+        # Force completion by pulling a data-dependent scalar to host:
+        # on the remote-execution relay, block_until_ready can return before
+        # the work finishes, producing impossible (multi-TB/s) timings.
+        out = fn(*args, **kwargs)
+        float(jnp.sum(out))  # compile + materialize
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(fn(*args, **kwargs))
+            float(jnp.sum(fn(*args, **kwargs)))
             best = min(best, time.perf_counter() - t0)
         return best, out
 

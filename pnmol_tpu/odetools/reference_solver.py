@@ -115,7 +115,10 @@ def solve_ivp_dopri5(f, t_span, y0, t_eval, rtol=1e-8, atol=1e-10, max_steps=100
         dt = dt_clamped * factor
         return (t, y, f_now, dt, out, idx, steps + 1)
 
-    out0 = jnp.zeros((n_eval, y0.shape[0]), dtype=y0.dtype)
+    # NaN-initialized output: if the step budget is exhausted before tmax
+    # (stiff systems), unreached evaluation points stay NaN — a visible
+    # failure instead of silently returning zeros.
+    out0 = jnp.full((n_eval, y0.shape[0]), jnp.nan, dtype=y0.dtype)
     # points at/below t0 take the initial value
     out0 = jnp.where((t_eval <= t0)[:, None], y0[None, :], out0)
 
@@ -123,3 +126,39 @@ def solve_ivp_dopri5(f, t_span, y0, t_eval, rtol=1e-8, atol=1e-10, max_steps=100
         cond, body, (jnp.asarray(t0, y0.dtype), y0, f0, dt0, out0, 0, 0)
     )
     return IVPSolution(t=t_eval, y=out, num_steps=steps)
+
+
+def solve_ivp_stiff(f, t_span, y0, t_eval, rtol=1e-10, atol=1e-10, jac=None):
+    """Host-side stiff reference integrator (scipy LSODA).
+
+    Explicit RK is the wrong tool for fine-dx reaction-diffusion ground
+    truths (the diffusion eigenvalue ~ dx^-2 forces ~1e5+ steps); the
+    experiment layer uses this for those — exactly what the reference does
+    (``/root/reference/experiments/figure3.py:22-24``, ``figure4.py:35-43``).
+    Pass ``jac`` (callable (t, y) -> (d, d)) to avoid LSODA's d extra
+    f-evaluations per Jacobian; same IVPSolution contract as
+    :func:`solve_ivp_dopri5` (num_steps reports nfev).
+    """
+    from scipy.integrate import solve_ivp as scipy_solve_ivp
+
+    y0_np = np.asarray(y0)
+    kwargs = {}
+    if jac is not None:
+        kwargs["jac"] = lambda t, y: np.asarray(jac(t, jnp.asarray(y)))
+    sol = scipy_solve_ivp(
+        lambda t, y: np.asarray(f(t, jnp.asarray(y))),
+        (float(t_span[0]), float(t_span[1])),
+        y0_np,
+        method="LSODA",
+        rtol=rtol,
+        atol=atol,
+        t_eval=np.asarray(t_eval),
+        **kwargs,
+    )
+    if not sol.success:  # pragma: no cover - scipy failure surface
+        raise RuntimeError(f"LSODA reference solve failed: {sol.message}")
+    return IVPSolution(
+        t=jnp.asarray(sol.t),
+        y=jnp.asarray(sol.y.T),
+        num_steps=jnp.asarray(sol.nfev),
+    )
