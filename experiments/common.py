@@ -24,7 +24,19 @@ def results_dir(figure: str) -> pathlib.Path:
     return path
 
 
+_FAST_MODE = False
+
+
+def set_fast_mode(enabled: bool) -> None:
+    """--fast smoke runs write to results/<figure>_fast/ so they can never
+    clobber full-scale results (which cost hours to recompute)."""
+    global _FAST_MODE
+    _FAST_MODE = bool(enabled)
+
+
 def save_arrays(figure: str, prefix: str, **arrays):
+    if _FAST_MODE:
+        figure = figure + "_fast"
     path = results_dir(figure)
     for name, arr in arrays.items():
         arr = np.asarray(arr)

@@ -25,6 +25,7 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 import common
 
 FAST = "--fast" in sys.argv
+common.set_fast_mode(FAST)
 
 # Hyperparameters (method) — reference values: figure1.py:108-123
 DT = 0.05

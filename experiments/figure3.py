@@ -31,6 +31,7 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 import common
 
 FAST = "--fast" in sys.argv
+common.set_fast_mode(FAST)
 
 # Grids (reference: figure3.py:128-130). PNMOL_FIG3_DX_LEVELS caps the number
 # of mesh refinements (the finest reference levels need hours on one CPU core).

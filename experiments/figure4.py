@@ -28,6 +28,7 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 import common
 
 FAST = "--fast" in sys.argv
+common.set_fast_mode(FAST)
 
 import os
 

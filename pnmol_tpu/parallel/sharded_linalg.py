@@ -125,9 +125,14 @@ def blocked_qr_r(stacked, mesh, axis="space", panel_size=None, reorthogonalize=T
         for (j0, j1) in panels:
             panel_block = jax.lax.dynamic_slice_in_dim(block, j0, j1 - j0, axis=1)
             q, r1 = cholqr(panel_block, jitter=jnp.sqrt(eps))
-            # CholeskyQR2: one refinement round fixes the squared condition
+            # shifted CholeskyQR3 (Fukaya et al.): the shifted first round
+            # tames cond(A) up to ~eps^-1, two clean rounds restore
+            # orthogonality to O(eps) — required in f32, where the
+            # sqrt-Kalman factors' condition (~1e4-1e5) squares past the
+            # f32 Cholesky limit and CholeskyQR2 alone breaks down.
             q, r2 = cholqr(q, jitter=16.0 * eps)
-            r_panel = r2 @ r1
+            q, r3 = cholqr(q, jitter=16.0 * eps)
+            r_panel = r3 @ (r2 @ r1)
             R = jax.lax.dynamic_update_slice(R, r_panel, (j0, j0))
             if j1 < cols:
                 trailing = jax.lax.dynamic_slice_in_dim(
