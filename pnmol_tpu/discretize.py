@@ -231,6 +231,56 @@ def fd_probabilistic_neumann_1d(
     return diffmatrix @ B_select, errormatrix
 
 
+def fd_probabilistic_neumann(
+    mesh_spatial,
+    kernel=None,
+    stencil_size=3,
+    nugget_gram_matrix=0.0,
+):
+    """Kernel-FD outward-normal-derivative operator in ANY spatial dimension.
+
+    Beyond the reference (1-D two-point stencils only,
+    ``discretize.py:116-158``): per boundary point, solve the stencil system
+    for the *directional* derivative along that point's outward normal
+    (``mesh_spatial.boundary_normals``; normals are data, so all boundary
+    points batch in one vmap — no per-normal operator retracing). Returns
+    ``(B (b, N), R_sqrtm (b, b))`` like the 1-D variant.
+    """
+    if kernel is None:
+        kernel = kernels.SquareExponential(input_scale=1.0, output_scale=1.0)
+
+    pairwise = kernel.pairwise
+    grad_x = jax.grad(lambda x, y: pairwise(x, y).squeeze(), argnums=0)
+    hess_xy = jax.jacfwd(grad_x, argnums=1)
+
+    def one_point(x, neighbors, normal):
+        s = neighbors.shape[0]
+        gram = kernel(neighbors, neighbors.T) + nugget_gram_matrix * jnp.eye(
+            s, dtype=x.dtype
+        )
+        lk = jax.vmap(lambda xj: jnp.dot(normal, grad_x(x, xj)))(neighbors)
+        llk = normal @ hess_xy(x, x) @ normal
+        chol = jnp.linalg.cholesky(gram)
+        weights = jax.scipy.linalg.cho_solve((chol, True), lk)
+        uncertainty = llk - weights @ lk
+        return weights, uncertainty
+
+    points_boundary, _, indices_boundary = mesh_spatial.boundary
+    neighbors, neighbor_idx = mesh_spatial.neighbours(
+        point=points_boundary, num=stencil_size
+    )
+    normals = mesh_spatial.boundary_normals
+    weights, uncertainties = jax.jit(jax.vmap(one_point))(
+        points_boundary, neighbors, normals
+    )
+
+    N = mesh_spatial.shape[0]
+    b = points_boundary.shape[0]
+    B = jnp.zeros((b, N), dtype=weights.dtype)
+    B = B.at[jnp.arange(b)[:, None], neighbor_idx].set(weights)
+    return B, jnp.diag(uncertainties)
+
+
 def collocation_global(
     diffop,
     mesh_spatial,

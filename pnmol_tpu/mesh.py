@@ -206,6 +206,23 @@ class RectangularMesh(Mesh):
         _, _, indices = self.boundary
         return jnp.eye(self.points.shape[0], dtype=self.points.dtype)[indices, :]
 
+    @cached_property
+    def boundary_normals(self):
+        """Unit outward normals at the boundary points, shape (b, dim).
+
+        Face points get the face's axis normal; edge/corner points (on
+        several faces) get the normalized sum of their face normals — the
+        standard discrete choice for Neumann corners on a box.
+        """
+        bbox = self._bbox_2d
+        _, _, indices = self.boundary
+        pts = self._points_host[np.asarray(indices)]
+        normals = (pts == bbox[None, :, 1]).astype(np.float64) - (
+            pts == bbox[None, :, 0]
+        ).astype(np.float64)
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        return jnp.asarray(normals / np.maximum(norms, 1e-300))
+
 
 def read_bbox(points):
     """Per-dimension (min, max) of a point cloud, shape (dim, 2)."""

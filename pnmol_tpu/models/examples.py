@@ -98,14 +98,16 @@ def heat_1d_discretized(
 
 
 def heat_2d(
-    *, bbox=None, t0=0.0, tmax=5.0, y0_fun=None, diffusion_rate=0.05
+    *, bbox=None, t0=0.0, tmax=5.0, y0_fun=None, diffusion_rate=0.05,
+    bcond="dirichlet",
 ):
-    """2-D heat equation with Dirichlet boundaries.
+    """2-D heat equation with Dirichlet or Neumann boundaries.
 
     Beyond the reference's model zoo (its recipes are all 1-D): the scale
     configuration of BASELINE.md ("2-D diffusion N=1e4") needs a 2-D problem;
     the generic discretization path (bbox classification + k-NN stencils)
-    already supports it.
+    already supports it, and Neumann boundaries use the n-D directional
+    kernel FD (``discretize.fd_probabilistic_neumann``).
     """
     if bbox is None:
         bbox = [[0.0, 1.0], [0.0, 1.0]]
@@ -117,7 +119,13 @@ def heat_2d(
             bump = jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
             return bump[..., None]
 
-    return problems.LinearEvolutionDirichlet(
+    cls = {
+        "dirichlet": problems.LinearEvolutionDirichlet,
+        "neumann": problems.LinearEvolutionNeumann,
+    }.get(bcond)
+    if cls is None:
+        raise ValueError(f"Unknown boundary condition: {bcond!r}")
+    return cls(
         diffop=diffops.laplace(),
         diffop_scale=diffusion_rate,
         bbox=bbox,
@@ -139,9 +147,11 @@ def heat_2d_discretized(
     diffusion_rate=0.05,
     nugget_gram_matrix_fd=1e-12,
     kernel=None,
+    bcond="dirichlet",
 ):
     heat = heat_2d(
-        bbox=bbox, t0=t0, tmax=tmax, y0_fun=y0_fun, diffusion_rate=diffusion_rate
+        bbox=bbox, t0=t0, tmax=tmax, y0_fun=y0_fun,
+        diffusion_rate=diffusion_rate, bcond=bcond
     )
     heat.discretize(
         mesh_spatial=mesh.RectangularMesh.from_bbox_2d(heat.bbox, nums=num_points),

@@ -62,13 +62,21 @@ class DiscretizationMixIn:
 
         if isinstance(self, NeumannMixIn):
             if self.dimension > 1:
-                raise NotImplementedError
-            self.B, self.R_sqrtm = discretize.fd_probabilistic_neumann_1d(
-                mesh_spatial=mesh_spatial,
-                kernel=kernel,
-                stencil_size=2,
-                nugget_gram_matrix=nugget_gram_matrix,
-            )
+                # n-D directional kernel FD (beyond the reference, which is
+                # 1-D only — /root/reference/src/pnmol/pde/mixins.py:41-49)
+                self.B, self.R_sqrtm = discretize.fd_probabilistic_neumann(
+                    mesh_spatial=mesh_spatial,
+                    kernel=kernel,
+                    stencil_size=stencil_size_boundary,
+                    nugget_gram_matrix=nugget_gram_matrix,
+                )
+            else:
+                self.B, self.R_sqrtm = discretize.fd_probabilistic_neumann_1d(
+                    mesh_spatial=mesh_spatial,
+                    kernel=kernel,
+                    stencil_size=2,
+                    nugget_gram_matrix=nugget_gram_matrix,
+                )
         elif isinstance(self, DirichletMixIn):
             self.B = mesh_spatial.boundary_projection_matrix
             self.R_sqrtm = jnp.zeros((self.B.shape[0], self.B.shape[0]))

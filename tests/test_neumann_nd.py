@@ -1,0 +1,81 @@
+"""n-D Neumann boundaries via directional kernel FD (beyond the reference,
+whose Neumann operator is 1-D-only: /root/reference/src/pnmol/pde/mixins.py:41-49)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnmol_tpu import discretize, kernels, mesh, white
+from pnmol_tpu.models import examples
+from pnmol_tpu.odetools import step
+
+PRIOR = kernels.Matern52() + kernels.WhiteNoise()
+
+
+def test_boundary_normals_2d():
+    grid = mesh.RectangularMesh.from_bbox_2d([[0.0, 1.0], [0.0, 1.0]], nums=(5, 5))
+    normals = np.asarray(grid.boundary_normals)
+    pts = np.asarray(grid.boundary[0])
+    # unit length everywhere
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, rtol=1e-12)
+    # a face point: x = 0, y interior -> normal (-1, 0)
+    i = np.nonzero((pts[:, 0] == 0.0) & (pts[:, 1] == 0.5))[0][0]
+    np.testing.assert_allclose(normals[i], [-1.0, 0.0])
+    # a corner: (1, 1) -> diagonal
+    j = np.nonzero((pts[:, 0] == 1.0) & (pts[:, 1] == 1.0))[0][0]
+    np.testing.assert_allclose(normals[j], [1 / np.sqrt(2)] * 2)
+
+
+def test_neumann_nd_recovers_normal_derivative():
+    """B u approximates du/dn for a smooth field on a 2-D grid."""
+    num = 21
+    grid = mesh.RectangularMesh.from_bbox_2d([[0.0, 1.0], [0.0, 1.0]], nums=(num, num))
+    dx = 1.0 / (num - 1)
+    # stencil_size 9: the first ~5 nearest neighbors of a face point lie
+    # along the boundary, so smaller stencils cannot isolate the normal
+    # direction (measured: err 0.17 at s=5 vs 0.01 at s=9, with the kernel-FD
+    # uncertainty tracking it, 0.035 vs 0.002)
+    kernel = kernels.SquareExponential(input_scale=0.05 / dx)
+    B, R = discretize.fd_probabilistic_neumann(
+        grid, kernel=kernel, stencil_size=9, nugget_gram_matrix=1e-12
+    )
+    x = grid.points[:, 0]
+    y = grid.points[:, 1]
+    u = x**2 + 2.0 * y**2
+    du_dn = B @ u
+
+    pts = np.asarray(grid.boundary[0])
+    normals = np.asarray(grid.boundary_normals)
+    # exact outward normal derivative: n . (2x, 4y)
+    exact = normals[:, 0] * 2 * pts[:, 0] + normals[:, 1] * 4 * pts[:, 1]
+    face = np.linalg.norm(normals, ord=np.inf, axis=1) == 1.0  # skip corners
+    np.testing.assert_allclose(
+        np.asarray(du_dn)[face], exact[face], atol=0.05
+    )
+    # uncertainties are nonnegative and bounded
+    assert float(jnp.min(jnp.diag(R))) >= -1e-10
+
+
+def test_heat_2d_neumann_solves_and_conserves_mass():
+    num = 12
+    dx = 1.0 / (num - 1)
+    pde = examples.heat_2d_discretized(
+        num_points=(num, num), tmax=0.5, bcond="neumann",
+        # quality discretization: 9-point stencils (see the recovery test)
+        # and a dx-adapted kernel scale
+        kernel=kernels.SquareExponential(input_scale=0.05 / dx),
+        stencil_size_interior=9, stencil_size_boundary=9,
+    )
+    assert pde.B.shape[0] == 44  # boundary of a 12x12 grid
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05), spatial_kernel=PRIOR
+    )
+    sol = solver.solve(pde)
+    u = sol.mean[:, 0, :]
+    assert not jnp.any(jnp.isnan(u))
+    # no-flux boundaries approximately conserve the spatial mean while the
+    # profile flattens
+    mean0 = float(jnp.mean(u[0]))
+    meanT = float(jnp.mean(u[-1]))
+    assert meanT == pytest.approx(mean0, rel=0.2)
+    assert float(jnp.std(u[-1])) < float(jnp.std(u[0]))
