@@ -22,7 +22,7 @@ from pnmol_tpu import models as pde  # reference-compatible alias: pnmol.pde
 from pnmol_tpu import odetools, parallel
 from pnmol_tpu.solvers import latent, pdefilter, white
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "config",
