@@ -25,7 +25,7 @@ def _sync(x):
     return x
 
 
-def demo_step(n_side, nu, num_steps, fused):
+def demo_step(n_side, nu, num_steps, fused, dim=2):
     import pnmol_tpu
     from pnmol_tpu import discretize, kernels
     from pnmol_tpu.odetools import step as step_module
@@ -33,14 +33,29 @@ def demo_step(n_side, nu, num_steps, fused):
 
     t0 = time.perf_counter()
     dx = 1.0 / (n_side - 1)
-    heat = pnmol_tpu.pde.examples.heat_2d_discretized(
-        num_points=(n_side, n_side),
-        kernel=kernels.SquareExponential(input_scale=0.15 / dx),
-        stencil_size_interior=5,
-        stencil_size_boundary=5,
-        nugget_gram_matrix_fd=1e-10,
-        tmax=1.0,
-    )
+    if dim == 2:
+        heat = pnmol_tpu.pde.examples.heat_2d_discretized(
+            num_points=(n_side, n_side),
+            kernel=kernels.SquareExponential(input_scale=0.15 / dx),
+            stencil_size_interior=5,
+            stencil_size_boundary=5,
+            nugget_gram_matrix_fd=1e-10,
+            tmax=1.0,
+        )
+    else:
+        # 3-D advection-diffusion (the BASELINE.md N=1e5 family, at the
+        # largest size one chip holds; beyond that: the sharded step)
+        heat = pnmol_tpu.pde.examples.advection_diffusion_discretized(
+            dim=3,
+            num_points=(n_side,) * 3,
+            kernel=kernels.SquareExponential(input_scale=0.15 / dx),
+            stencil_size_interior=7,
+            stencil_size_boundary=7,
+            nugget_gram_matrix_fd=1e-10,
+            tmax=1.0,
+            velocity=[1.0, 0.5, 0.25],
+            diffusion_rate=0.05,
+        )
     build_s = time.perf_counter() - t0
     d = heat.L.shape[0]
 
@@ -86,8 +101,8 @@ def demo_step(n_side, nu, num_steps, fused):
         jnp.abs(state.y.mean[0]).max()
     )
     print(json.dumps({
-        "demo": "heat2d_step",
-        "grid": [n_side, n_side],
+        "demo": "heat2d_step" if dim == 2 else "advdiff3d_step",
+        "grid": [n_side] * dim,
         "N": d,
         "state_dim": d * (nu + 1),
         "nu": nu,
@@ -155,11 +170,12 @@ if __name__ == "__main__":
     parser.add_argument("--n", type=int, default=100,
                         help="grid side (step mode) or total points (gram)")
     parser.add_argument("--nu", type=int, default=1)
+    parser.add_argument("--dim", type=int, default=2, choices=(2, 3))
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--input-scale", type=float, default=5.0)
     args = parser.parse_args()
     if args.mode == "step":
-        demo_step(args.n, args.nu, args.steps, args.fused)
+        demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim)
     else:
         demo_gram(args.n, args.input_scale)
