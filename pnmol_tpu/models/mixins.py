@@ -117,13 +117,20 @@ class SystemDiscretizationMixIn:
         if isinstance(self, _BoundaryConditionMixInInterface):
             if isinstance(self, (NeumannMixIn, SystemNeumannMixIn)):
                 if self.dimension > 1:
-                    raise NotImplementedError
-                B, R_sqrtm = discretize.fd_probabilistic_neumann_1d(
-                    mesh_spatial=mesh_spatial,
-                    kernel=kernel,
-                    stencil_size=2,
-                    nugget_gram_matrix=nugget_gram_matrix,
-                )
+                    # n-D directional kernel FD (see DiscretizationMixIn)
+                    B, R_sqrtm = discretize.fd_probabilistic_neumann(
+                        mesh_spatial=mesh_spatial,
+                        kernel=kernel,
+                        stencil_size=stencil_size_boundary,
+                        nugget_gram_matrix=nugget_gram_matrix,
+                    )
+                else:
+                    B, R_sqrtm = discretize.fd_probabilistic_neumann_1d(
+                        mesh_spatial=mesh_spatial,
+                        kernel=kernel,
+                        stencil_size=2,
+                        nugget_gram_matrix=nugget_gram_matrix,
+                    )
             elif isinstance(self, (DirichletMixIn, SystemDirichletMixIn)):
                 B = mesh_spatial.boundary_projection_matrix
                 R_sqrtm = jnp.zeros((B.shape[0], B.shape[0]))

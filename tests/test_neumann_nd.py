@@ -56,6 +56,67 @@ def test_neumann_nd_recovers_normal_derivative():
     assert float(jnp.min(jnp.diag(R))) >= -1e-10
 
 
+def test_system_2d_neumann_solves():
+    """A 2-species reaction-diffusion SYSTEM on a 2-D Neumann mesh (the
+    system discretization path is dimension-generic now)."""
+    import jax
+
+    from pnmol_tpu import diffops
+    from pnmol_tpu.models import problems
+
+    def y0_fun(x):
+        bump = jnp.exp(-20.0 * jnp.sum((x - 0.5) ** 2, axis=-1))
+        prey = 5.0 * jnp.ones(x.shape[0])
+        predator = 20.0 * bump
+        return jnp.concatenate((prey, predator))
+
+    @jax.jit
+    def f(_, z):
+        u, v = jnp.split(z, 2)
+        return jnp.concatenate((0.5 * u - 0.05 * u * v, 0.05 * u * v - 0.5 * v))
+
+    lap = diffops.laplace()
+    pde = problems.SystemSemiLinearEvolutionNeumann(
+        diffop=(lap, lap),
+        diffop_scale=(0.1, 0.1),
+        bbox=jnp.asarray([[0.0, 1.0], [0.0, 1.0]]),
+        t0=0.0,
+        tmax=0.2,
+        y0_fun=y0_fun,
+        f=f,
+        df=jax.jit(jax.jacfwd(f, argnums=1)),
+        df_diagonal=None,
+    )
+    num = 8
+    dx = 1.0 / (num - 1)
+    pde.discretize_system(
+        mesh_spatial=mesh.RectangularMesh.from_bbox_2d(
+            [[0.0, 1.0], [0.0, 1.0]], nums=(num, num)
+        ),
+        kernel=kernels.SquareExponential(input_scale=0.1 / dx),
+        stencil_size_interior=9,
+        stencil_size_boundary=9,
+        nugget_gram_matrix=1e-12,
+    )
+    d = num * num
+    assert pde.L.shape == (2 * d, 2 * d)
+    assert pde.B.shape[0] == 2 * (4 * num - 4)
+
+    solver = white.SemiLinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.02),
+        spatial_kernel=kernels.duplicate(PRIOR, num=2),
+    )
+    final, info = solver.simulate_final_state(pde)
+    assert not jnp.any(jnp.isnan(final.y.mean))
+    u, v = jnp.split(final.y.mean[0], 2)
+    # prey grows on average (predators are localized) and stays positive;
+    # the predator bump diffuses outward (its max drops)
+    assert float(jnp.mean(u)) > 5.0
+    assert float(jnp.min(u)) > 0.0
+    v0 = y0_fun(pde.mesh_spatial.points)[d:]
+    assert float(jnp.max(v)) < float(jnp.max(v0))
+
+
 def test_heat_2d_neumann_solves_and_conserves_mass():
     num = 12
     dx = 1.0 / (num - 1)
