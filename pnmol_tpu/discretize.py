@@ -253,6 +253,16 @@ def fd_probabilistic_neumann(
     grad_x = jax.grad(lambda x, y: pairwise(x, y).squeeze(), argnums=0)
     hess_xy = jax.jacfwd(grad_x, argnums=1)
 
+    # Matern52 removable singularity at zero distance (autodiff NaNs there,
+    # like in fd_coefficients): grad of an even radial kernel is 0 at
+    # coincidence, and d_x d_y k at coincidence is (5/3) sigma^2 rho^2 * I,
+    # so n.H.n = (5/3) sigma^2 rho^2 for a unit normal.
+    is_matern = isinstance(kernel, kernels.Matern52)
+    if is_matern:
+        hess_at_zero = (
+            5.0 / 3.0 * kernel.output_scale**2 * kernel.input_scale**2
+        )
+
     def one_point(x, neighbors, normal):
         s = neighbors.shape[0]
         gram = kernel(neighbors, neighbors.T) + nugget_gram_matrix * jnp.eye(
@@ -260,6 +270,9 @@ def fd_probabilistic_neumann(
         )
         lk = jax.vmap(lambda xj: jnp.dot(normal, grad_x(x, xj)))(neighbors)
         llk = normal @ hess_xy(x, x) @ normal
+        if is_matern:
+            lk = jnp.nan_to_num(lk, nan=0.0)
+            llk = jnp.where(jnp.isnan(llk), hess_at_zero, llk)
         chol = jnp.linalg.cholesky(gram)
         weights = jax.scipy.linalg.cho_solve((chol, True), lk)
         uncertainty = llk - weights @ lk

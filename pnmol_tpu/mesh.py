@@ -75,7 +75,7 @@ class Mesh(abc.ABC):
         self._points_host = self._points_host[perm]  # keep the f64 host copy
         # invalidate cached classifications
         for attr in ("boundary", "interior", "_boundary_mask_host",
-                     "boundary_projection_matrix"):
+                     "boundary_projection_matrix", "boundary_normals"):
             self.__dict__.pop(attr, None)
 
     def __len__(self):
@@ -123,7 +123,20 @@ class RectangularMesh(Mesh):
     """Tensor-product grid over an axis-aligned bounding box."""
 
     def __init__(self, points, bbox=None):
-        self.bbox = jnp.asarray(bbox) if bbox is not None else read_bbox(points)
+        # f64 host copy of the bbox: boundary classification compares the f64
+        # host points against it with exact equality, so a policy-dtype (f32)
+        # bbox would silently drop every face whose bound is not exactly
+        # f32-representable (points would classify as interior and the
+        # boundary condition would vanish).
+        pts_np = np.asarray(points, dtype=np.float64)
+        if bbox is None:
+            self._bbox_host = np.stack(
+                (pts_np.min(axis=0), pts_np.max(axis=0)), axis=-1
+            )
+            self.bbox = jnp.asarray(self._bbox_host)
+        else:
+            self._bbox_host = np.asarray(bbox, dtype=np.float64).reshape(-1, 2)
+            self.bbox = jnp.asarray(bbox)
         super().__init__(points)
 
     @classmethod
@@ -178,8 +191,7 @@ class RectangularMesh(Mesh):
 
     @cached_property
     def _bbox_2d(self):
-        bbox = np.asarray(self.bbox)
-        return bbox.reshape(-1, 2)
+        return self._bbox_host
 
     @cached_property
     def _boundary_mask_host(self):

@@ -126,6 +126,15 @@ def project_derivative(X, i, n):
     return X.reshape(-1, n, K)[:, i, :]
 
 
+def point_major_perm(n, d):
+    """Permutation mapping derivative-major flat index (k*d + i) to the
+    point-major basis (i*n + k): perm[p] = (p % n) * d + p // n. The single
+    source of truth for the layout gather used by :func:`kron_point_major`
+    and the init block assembly."""
+    idx = jnp.arange(n * d)
+    return (idx % n) * d + idx // n
+
+
 def kron_point_major(A_spatial, B_deriv):
     """``jnp.kron(A_spatial, B_deriv)`` assembled TPU-friendly.
 
@@ -141,8 +150,7 @@ def kron_point_major(A_spatial, B_deriv):
     big = (
         B_deriv[:, None, :, None] * A_spatial[None, :, None, :]
     ).reshape(n * d, n * d)  # kron(B_deriv, A_spatial)
-    idx = jnp.arange(n * d)
-    perm = (idx % n) * d + idx // n
+    perm = point_major_perm(n, d)
     return big[perm][:, perm]
 
 

@@ -27,6 +27,8 @@ import socket
 import subprocess
 import sys
 
+_INITIALIZED = False
+
 
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None, local_device_ids=None):
@@ -39,6 +41,10 @@ def init_distributed(coordinator_address=None, num_processes=None,
     no-op so library code can call this unconditionally.
     """
     import jax
+
+    global _INITIALIZED
+    if _INITIALIZED:
+        return True  # idempotent: repeated calls are no-ops
 
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS"
@@ -59,6 +65,7 @@ def init_distributed(coordinator_address=None, num_processes=None,
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
+    _INITIALIZED = True
     return True
 
 

@@ -108,14 +108,14 @@ def dt_sweep_final_states(*, cache, num_derivatives, f, df, linear,
     dts_pad = jnp.asarray(dts_pad.T, dtype=dtype)
     mask_arr = jnp.asarray(mask.T)
 
-    def single(mean, cov, t_next, dt):
+    def single(cache_arg, mean, cov, t_next, dt):
         return white_attempt_step(
-            cache, mean, cov, t_next, dt,
+            cache_arg, mean, cov, t_next, dt,
             num_derivatives=num_derivatives, f=f, df=df, linear=linear,
             fused=True,
         )
 
-    lane_step = jax.vmap(single, in_axes=(0, 0, 0, 0))
+    lane_step = jax.vmap(single, in_axes=(None, 0, 0, 0, 0))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -124,12 +124,17 @@ def dt_sweep_final_states(*, cache, num_derivatives, f, df, linear,
     else:
         shard = None
 
+    # cache enters as a traced argument, never a closure (a closed-over cache
+    # becomes XLA constants and its products get constant-folded at compile
+    # time — the multi-second stall documented in bench.py)
     @jax.jit
-    def sweep(mean_b, cov_b):
+    def sweep(cache_arg, mean_b, cov_b):
         def body(carry, xs):
             mean, cov, diff_sum = carry
             t_next, dt, live = xs
-            new_mean, new_cov, _, _, diff = lane_step(mean, cov, t_next, dt)
+            new_mean, new_cov, _, _, diff = lane_step(
+                cache_arg, mean, cov, t_next, dt
+            )
             keep = live[:, None, None]
             mean = jnp.where(keep, new_mean, mean)
             cov = jnp.where(keep, new_cov, cov)
@@ -147,7 +152,7 @@ def dt_sweep_final_states(*, cache, num_derivatives, f, df, linear,
 
     mean_b = jnp.broadcast_to(mean0[None], (E,) + mean0.shape)
     cov_b = jnp.broadcast_to(cov0[None], (E,) + cov0.shape)
-    mean, cov, diff_sum = sweep(mean_b, cov_b)
+    mean, cov, diff_sum = sweep(cache, mean_b, cov_b)
     n_steps = jnp.asarray(lengths, dtype=dtype)
     diffusion = diff_sum / n_steps
     cov_scaled = cov * jnp.sqrt(diffusion)[:, None, None]

@@ -75,9 +75,11 @@ def constant_step_schedule(t0, tmax, dt):
     dts = np.full(num_steps, dt)
     dts[-1] = tmax - ts[-1]
     # The ceil slack above is absolute; for very long schedules float error in
-    # span/dt can still produce a degenerate final sliver. Merge it into the
-    # previous step instead (final step then spans up to 1.5*dt).
-    if num_steps > 1 and dts[-1] < 0.5 * dt:
+    # span/dt can still produce a degenerate final *sliver* (roundoff-sized,
+    # not a genuine remainder step). Merge only slivers — a real remainder
+    # like 0.1 for dt=0.3 must stay its own step, or the schedule would
+    # silently overshoot the requested dt.
+    if num_steps > 1 and dts[-1] < 1e-8 * dt:
         ts = ts[:-1]
         dts = dts[:-1]
         dts[-1] = tmax - ts[-1]

@@ -259,8 +259,7 @@ def point_major_blockdiag(blocks):
     n = len(blocks)
     d = blocks[0].shape[0]
     bd = jax.scipy.linalg.block_diag(*blocks)  # derivative-major (D, D)
-    idx = jnp.arange(n * d)
-    perm = (idx % n) * d + idx // n
+    perm = iwp.point_major_perm(n, d)
     return bd[perm][:, perm]
 
 

@@ -117,6 +117,59 @@ def test_system_2d_neumann_solves():
     assert float(jnp.max(v)) < float(jnp.max(v0))
 
 
+def test_neumann_nd_matern52_is_nan_patched():
+    """Matern52 autodiffs to NaN at zero distance; the n-D Neumann operator
+    must apply the removable-singularity patch like fd_coefficients does."""
+    grid = mesh.RectangularMesh.from_bbox_2d([[0.0, 1.0], [0.0, 1.0]], nums=(7, 7))
+    B, R = discretize.fd_probabilistic_neumann(
+        grid, kernel=kernels.Matern52(input_scale=5.0), stencil_size=9,
+        nugget_gram_matrix=1e-12,
+    )
+    assert not bool(jnp.any(jnp.isnan(B)))
+    assert not bool(jnp.any(jnp.isnan(R)))
+
+
+def test_boundary_classification_survives_f32_policy():
+    """Under PNMOL_TPU_X32 the device bbox is f32; classification must use
+    the f64 host copy or faces at non-f32-representable bounds (0.1, 0.3)
+    silently lose their boundary points (and their boundary conditions)."""
+    import subprocess
+    import sys
+
+    code = """
+import os, jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from pnmol_tpu import mesh
+g1 = mesh.RectangularMesh.from_bbox_1d([0.0, 0.1], num=5)
+assert int(np.asarray(g1.boundary[1]).sum()) == 2, np.asarray(g1.boundary[1])
+g2 = mesh.RectangularMesh.from_bbox_2d([[0.0, 1.0], [0.0, 0.3]], nums=(5, 5))
+assert int(np.asarray(g2.boundary[1]).sum()) == 16, np.asarray(g2.boundary[1]).sum()
+normals = np.asarray(g2.boundary_normals)
+assert np.all(np.linalg.norm(normals, axis=1) > 0.99)
+print("OK")
+"""
+    env = dict(__import__("os").environ, PNMOL_TPU_X32="1")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
+
+
+def test_constant_schedule_keeps_real_remainder_steps():
+    """Only roundoff slivers are merged; a genuine remainder (0.1 for
+    dt=0.3) must stay its own step — merging it would overshoot the
+    requested dt by up to 50%."""
+    from pnmol_tpu.solvers.pdefilter import constant_step_schedule
+
+    ts, dts = constant_step_schedule(0.0, 1.0, 0.3)
+    assert len(dts) == 4
+    np.testing.assert_allclose(dts, [0.3, 0.3, 0.3, 0.1], atol=1e-12)
+    assert ts[-1] + dts[-1] == pytest.approx(1.0, abs=1e-12)
+
+
 def test_heat_2d_neumann_solves_and_conserves_mass():
     num = 12
     dx = 1.0 / (num - 1)
