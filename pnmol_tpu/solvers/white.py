@@ -271,13 +271,22 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     the reference's small-dt accuracy floor on nonlinear problems at the
     cost of deviating from the paper's calibration. Default off (reference
     semantics).
+
+    ``factorization`` swaps the pre-array factorization of the step kernel
+    (``(HACl, ACl, HQl, Ql, R) -> (posterior_factor, gain, innovation)``) —
+    e.g. ``functools.partial(parallel.sharded_filter.pre_array_blocked_qr,
+    mesh=...)``: the all-matmul panel factorization, 2.5x faster than XLA's
+    QR on the MXU but with an eps*cond posterior-factor error in f32
+    (exact in f64); see docs/SCALE.md.
     """
 
     LINEAR: bool = True
 
-    def __init__(self, *args, meascov_dt_scaled=False, **kwargs):
+    def __init__(self, *args, meascov_dt_scaled=False, factorization=None,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.meascov_dt_scaled = meascov_dt_scaled
+        self.factorization = factorization
 
     @property
     def E0(self):
@@ -317,6 +326,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             df=df,
             linear=self.LINEAR,
             meascov_dt_scaled=self.meascov_dt_scaled,
+            factorization=self.factorization,
         )
 
         # [Init mean/cov] diffuse prior, then two sqrt updates: on y0 (in

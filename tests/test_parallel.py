@@ -215,6 +215,41 @@ def test_space_sharded_white_step_matches_unsharded(device_mesh):
     assert len(got[1].addressable_shards) > 1  # actually sharded output
 
 
+def test_solver_level_factorization_hook(device_mesh):
+    """The white solvers accept a pre-array factorization at construction.
+
+    Gram-based factorizations carry an eps*cond^2 posterior-factor error
+    that compounds over steps (docs/SCALE.md); measured drift here is
+    ~4e-6 after 5 f64 steps, so the trajectory tolerance reflects that —
+    single-step exactness is pinned by the sharded-step tests."""
+    import functools
+
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=0.125, tmax=0.5)
+    trivial = meshes.make_mesh(1, batch=1)
+    fact = functools.partial(
+        sharded_filter.pre_array_blocked_qr, mesh=trivial, panel_size=16
+    )
+    base = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.1),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    ).solve(heat)
+    alt = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.1),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        factorization=fact,
+    ).solve(heat)
+    assert jnp.allclose(alt.mean, base.mean, atol=1e-4)
+    assert jnp.allclose(
+        alt.diffusion_squared_calibrated,
+        base.diffusion_squared_calibrated,
+        rtol=1e-4,
+    )
+
+
 def test_dt_sweep_matches_sequential_final_states(device_mesh):
     """The padded vmapped dt sweep reproduces each sequential constant-step
     simulate_final_state (the figure-3 sweep shape, one scan for all dts)."""
