@@ -84,3 +84,26 @@ def test_solve_under_x32_mode(f32_mode):
     assert sol.mean.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(sol.mean)))
     assert bool(jnp.all(jnp.isfinite(sol.cov_sqrtm)))
+
+
+def test_fine_dx_pipeline_under_x32_mode(f32_mode):
+    """The bench/TPU configuration at fine dx: dx-adapted FD scale, stencil
+    dedupe, structured init, f32 stepping — and the solution is physical
+    (heat decays, no NaNs). This is the pipeline the scale table measures."""
+    N = 512
+    dx = 1.0 / (N - 1)
+    heat = examples.heat_1d_discretized(
+        dx=dx, tmax=0.05,
+        kernel=kernels.SquareExponential(input_scale=0.1 / dx),
+    )
+    assert heat.L.dtype == jnp.float32
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(0.005),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    final, _ = solver.simulate_final_state(heat)
+    assert final.y.mean.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(final.y.mean)))
+    assert bool(jnp.all(jnp.isfinite(final.y.cov_sqrtm)))
+    u0 = heat.y0
+    assert float(jnp.abs(final.y.mean[0]).max()) <= float(jnp.abs(u0).max()) * 1.01
