@@ -46,7 +46,11 @@ def pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, *, mesh, axis="space",
     R1 = R[:m, :m]
     R2 = R[:m, m:]
     R3 = R[m:, m:]
-    gain = jax.scipy.linalg.solve_triangular(R1, R2, lower=False).T
+    # gain solve: small replicated triangular factor against a state-dim-wide
+    # rhs — columns solve independently on their shards, no communication
+    gain = sharded_linalg.sharded_triangular_solve(
+        R1, R2, mesh=mesh, axis=axis, lower=False
+    ).T
     return R3.T, gain, R1.T
 
 
@@ -85,6 +89,9 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
             fused=True, factorization=factorization,
         )
         new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding)
+        # the mean is (n, d)-small and part of the step's replicated contract
+        # (hosts fetch it directly in multi-process runs)
+        new_mean = jax.lax.with_sharding_constraint(new_mean, replicated)
         return new_mean, new_cov, err, ref, diff
 
     return functools.partial(step, cache)

@@ -158,6 +158,36 @@ def blocked_qr_r(stacked, mesh, axis="space", panel_size=None, reorthogonalize=T
     return fn(stacked)
 
 
+def sharded_triangular_solve(R, B, mesh, axis="space", lower=False):
+    """Hand-scheduled distributed triangular solve ``R X = B``.
+
+    The Kalman-gain solve has a small replicated triangular factor ``R``
+    (m x m) against a wide right-hand side ``B`` (m x K, K ~ state dim):
+    columns are independent, so each device solves its own column shard with
+    zero communication (SURVEY §2.2 item 3 — the explicit counterpart of the
+    GSPMD-managed solves inside the jitted step). Pads K to the axis size;
+    returns X with B's sharding.
+    """
+    m, K = B.shape
+    axis_size = mesh.shape[axis]
+    pad = (-K) % axis_size
+    if pad:
+        B = jnp.concatenate((B, jnp.zeros((m, pad), dtype=B.dtype)), axis=1)
+
+    def local_solve(R_local, B_local):
+        return jax.scipy.linalg.solve_triangular(R_local, B_local, lower=lower)
+
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(None, axis)),
+        out_specs=PartitionSpec(None, axis),
+        check_vma=False,
+    )
+    X = fn(R, B)
+    return X[:, :K] if pad else X
+
+
 def sharded_gram(kernel, points, mesh):
     """Assemble K(X, X) with rows sharded over the mesh's 'space' axis.
 

@@ -89,6 +89,19 @@ def test_tsqr_rejects_short_blocks(device_mesh):
         sharded_linalg.tsqr_r(mat, device_mesh)
 
 
+def test_sharded_triangular_solve_matches_dense(device_mesh):
+    """Column-sharded triangular solve == the dense solve (incl. padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    m, K = 24, 50  # K not divisible by the 4-wide space axis -> pads
+    R = jnp.asarray(np.triu(rng.normal(size=(m, m)) + 3 * np.eye(m)))
+    B = jnp.asarray(rng.normal(size=(m, K)))
+    X = sharded_linalg.sharded_triangular_solve(R, B, device_mesh)
+    X_dense = jax.scipy.linalg.solve_triangular(R, B, lower=False)
+    assert jnp.allclose(X, X_dense, atol=1e-10)
+
+
 def test_blocked_qr_matches_dense_qr(device_mesh):
     """Distributed panel QR (CholeskyQR2 + BGS) has the dense R's Gram, even
     for squarish matrices where TSQR degenerates."""
