@@ -277,7 +277,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     e.g. ``functools.partial(parallel.sharded_filter.pre_array_blocked_qr,
     mesh=...)``: the all-matmul panel factorization, 2.5x faster than XLA's
     QR on the MXU but with an eps*cond posterior-factor error in f32
-    (exact in f64); see docs/SCALE.md.
+    (exact in f64); see docs/SCALE.md. The callable is a jit *static*
+    compared by object identity — reuse ONE instance across solvers, or
+    every solver recompiles the step kernel.
     """
 
     LINEAR: bool = True

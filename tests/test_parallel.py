@@ -228,7 +228,7 @@ def test_space_sharded_white_step_matches_unsharded(device_mesh):
     assert len(got[1].addressable_shards) > 1  # actually sharded output
 
 
-def test_solver_level_factorization_hook(device_mesh):
+def test_solver_level_factorization_hook():
     """The white solvers accept a pre-array factorization at construction.
 
     Gram-based factorizations carry an eps*cond^2 posterior-factor error
