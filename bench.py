@@ -31,6 +31,9 @@ import subprocess
 import sys
 import time
 
+# Measured on TPU v5e (single chip, f32 end-to-end, forced-completion
+# timing): N=512 -> 161 steps/s (115x the CPU-f64 oracle); see docs/SCALE.md
+# for the full ladder up to N=8192 and the 2-D/3-D families.
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
