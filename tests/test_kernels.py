@@ -90,6 +90,7 @@ def test_mle_input_scale_picks_best_trial():
 
 def test_mle_input_scale_gradient_improves_on_grid():
     """Adam MLE reaches a likelihood at least as good as the grid winner."""
+    pytest.importorskip("optax")
     mesh_points = jnp.linspace(0, 1, 20).reshape(-1, 1)
     true_kernel = kernels.SquareExponential(input_scale=5.0)
     gram = true_kernel(mesh_points, mesh_points.T) + 1e-8 * jnp.eye(20)
