@@ -1,0 +1,596 @@
+"""Blocked Householder QR (R-only) with a Pallas panel kernel.
+
+The PDE-filter step is QR-bound (docs/SCALE.md shootout): XLA's TPU QR
+expander spends most of its wall-clock in per-column work that round-trips
+HBM, while the step's pre-array factorization only ever needs the upper
+factor ``R``. This module implements the classical compact-WY blocked
+Householder QR the TPU way:
+
+* **Leaf panels** (``leaf`` columns, default 32) are factorized inside ONE
+  Pallas kernel invocation: the ``(rows, leaf)`` slab stays in VMEM for all
+  column steps (column extraction, reflector formation, rank-1 updates, and
+  the T-recurrence all happen on-chip) instead of launching per-column HLO.
+* **WY aggregation**: leaf reflectors are merged into ``block``-wide
+  (default 128) compact-WY factors with small matmuls, so the
+* **trailing updates** run as plain rank-``block`` XLA matmuls — MXU work
+  with a 128-deep contraction.
+
+Numerically this is genuine Householder QR — columnwise backward stable,
+``eps * ||A||`` error in the factor — unlike Gram/Cholesky-based fast QRs
+(``parallel.sharded_linalg.blocked_qr_r``) whose ``eps * cond(A)^2`` error
+loses the small posterior directions of sqrt-Kalman factors in f32
+(docs/SCALE.md "Factorization shootout").
+
+Fills the role LAPACK ``geqrt``/``larfb`` play against the reference's
+``jax.scipy.linalg.qr`` calls (``/root/reference/src/pnmol/base/sqrt.py:21,66``).
+
+Only ``R`` is returned; Householder vectors never leave the factorization
+(the sqrt-Kalman update needs ``R`` alone — gain and innovation factor are
+read out of its blocks, ``pnmol_tpu/ops/sqrt.py``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves where jaxlib has TPU support compiled in
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _roundup(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+# All driver-level matmuls run at an explicit precision. The TPU default
+# (one bf16 pass) silently destroys Householder's stability advantage: the
+# WY trailing updates would inject ~1e-3-relative noise into the factor.
+# "highest" (six bf16 passes) reproduces f32 accuracy; "high" (three) is a
+# measured middle ground exposed for experiments.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _dot(a, b, precision):
+    return jnp.dot(
+        a, b, preferred_element_type=a.dtype, precision=_PRECISIONS[precision]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leaf panel kernel: Householder QR of a (rows, leaf) slab, entirely in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _leaf_kernel(a_in, vr_out, t_out, *, leaf: int):
+    """Unblocked Householder QR of one VMEM-resident slab.
+
+    ``a_in``: (rows, leaf) input slab; the slab's diagonal is its row 0..leaf
+    (the caller slices A so that global row == global column at slab row k
+    for column k).
+
+    ``vr_out``: (rows, leaf) — R in the upper triangle of the top (leaf,
+    leaf) square, Householder tails strictly below the diagonal (the unit
+    diagonal of V is implicit).
+
+    ``t_out``: (leaf, leaf) upper-triangular compact-WY factor with
+    ``Q = H_0 H_1 ... = I - V T V^T`` and the per-column ``tau`` on the
+    diagonal.
+
+    The column loop is a *static* Python unroll: column index, slice bounds
+    and row masks are compile-time constants, so each step reads/writes only
+    the remaining (rows, leaf-k) sub-slab — no masked full-width waste.
+    """
+    rows = a_in.shape[0]
+    dtype = a_in.dtype
+    vr_out[:] = a_in[:]
+    t_out[:] = jnp.zeros((leaf, leaf), dtype)
+
+    # All masks/ops below are full-width VPU elementwise + reductions —
+    # Mosaic-friendly (no dim-1 matmuls, no pads, no sub-tile slicing).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, leaf), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, leaf), 1)
+    t_rows = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    t_cols = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    for k in range(leaf):
+        a = vr_out[:]  # (rows, leaf)
+        x = jnp.sum(jnp.where(col_ids == k, a, zero), axis=1, keepdims=True)
+        alpha = jnp.sum(jnp.where(row_ids == k, x, zero))
+        tail_mask = row_ids > k
+        sigma = jnp.sum(jnp.where(tail_mask, x * x, zero))
+        norm = jnp.sqrt(alpha * alpha + sigma)
+        # sign choice avoids cancellation; norm == 0 -> identity reflector
+        sign = jnp.where(alpha >= 0, one, -one)
+        beta = -sign * norm
+        denom = alpha - beta
+        safe = norm > 0
+        inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
+        tau = jnp.where(safe, (beta - alpha) / jnp.where(safe, beta, one), zero)
+
+        # v: implicit-unit reflector column (0 above k, 1 at k, scaled below)
+        v = jnp.where(tail_mask, x * inv_denom, jnp.where(row_ids == k, one, zero))
+
+        # One reduction serves both the rank-1 update and the T recurrence:
+        # s = v^T a; columns > k need w = tau * s, columns < k are exactly
+        # V[:, :k]^T v (v is zero on rows < k, so stored R entries and the
+        # unit diagonals of earlier reflectors drop out of the product).
+        s = jnp.sum(v * a, axis=0, keepdims=True)  # (1, leaf)
+        a_upd = a - v * (tau * s)
+        col_new = jnp.where(row_ids == k, beta, jnp.where(tail_mask, x * inv_denom, x))
+        vr_out[:] = jnp.where(
+            col_ids > k, a_upd, jnp.where(col_ids == k, col_new, a)
+        )
+
+        # T recurrence: T[:k, k] = -tau * T[:k, :k] @ z with z = s[:k].
+        z_masked = jnp.where(lane_ids < k, s, zero)  # (1, leaf)
+        t_cur = t_out[:]
+        tz = jnp.sum(t_cur * z_masked, axis=1, keepdims=True)  # (leaf, 1)
+        t_col = jnp.where(
+            t_rows == k, tau, jnp.where(t_rows < k, -tau * tz, zero)
+        )
+        t_out[:] = jnp.where(t_cols == k, t_col, t_cur)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "interpret"))
+def _leaf_qr(slab, *, leaf: int, interpret: bool = False):
+    """Run the leaf kernel on one (rows, leaf) slab."""
+    rows = slab.shape[0]
+    dtype = slab.dtype
+    kernel = functools.partial(_leaf_kernel, leaf=leaf)
+    if _HAS_PLTPU and not interpret:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+    else:  # interpreter / non-TPU fallback keeps the same semantics
+        in_specs = [pl.BlockSpec(slab.shape, lambda: (0, 0))]
+        out_specs = (
+            pl.BlockSpec((rows, leaf), lambda: (0, 0)),
+            pl.BlockSpec((leaf, leaf), lambda: (0, 0)),
+        )
+    vr, t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, leaf), dtype),
+            jax.ShapeDtypeStruct((leaf, leaf), dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret or not _HAS_PLTPU,
+    )(slab)
+    return vr, t
+
+
+# ---------------------------------------------------------------------------
+# Blocked driver: leaf factorization + WY merging + MXU trailing updates.
+# ---------------------------------------------------------------------------
+
+
+def _split_vr(vr, leaf: int):
+    """(V with unit diagonal, R panel) from a leaf kernel output."""
+    rows = vr.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, leaf), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, leaf), 1)
+    v = jnp.where(
+        row_ids > col_ids, vr, jnp.where(row_ids == col_ids, 1.0, 0.0)
+    ).astype(vr.dtype)
+    r = jnp.triu(vr[:leaf])
+    return v, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "block", "row_quant", "interpret", "precision"),
+)
+def blocked_qr_r(
+    A,
+    *,
+    leaf: int = 32,
+    block: int = 128,
+    row_quant: int = 2048,
+    interpret: bool = False,
+    precision: str = "highest",
+):
+    """Upper-triangular R of a QR of ``A`` (M >= N), shape (N, N).
+
+    Equivalent (up to row signs — any valid QR) to
+    ``jnp.linalg.qr(A, mode="r")``; the Gram ``R^T R == A^T A`` holds to
+    Householder accuracy. ``leaf`` columns are factorized per Pallas kernel
+    call; ``block`` columns share one trailing update. Slab row counts are
+    quantized to ``row_quant`` so only O(M / row_quant) distinct kernel
+    shapes compile.
+    """
+    M, N = A.shape
+    if M < N:
+        raise ValueError(f"blocked_qr_r requires M >= N, got {A.shape}")
+    block = max(block, leaf)
+    row_quant = max(row_quant, block)  # keeps every slab inside the row pad
+    dtype = A.dtype
+
+    n_pad = _roundup(N, block)
+    # column padding to a whole number of blocks; rows padded only as far as
+    # needed so every block retains at least `width` active rows
+    A = jnp.pad(A, ((0, max(n_pad - M, 0)), (0, n_pad - N)))
+
+    # Left-to-right sweep over column blocks. The active submatrix `work`
+    # shrinks by `block` rows and columns per iteration (rows above the
+    # current diagonal are final R rows and are collected, never rewritten),
+    # so no O(M x N) buffer is ever update-sliced — the only full-width
+    # operation per block is the trailing matmul update itself.
+    work = A
+    r_strips = []  # (block, n_pad - jb) final R rows per block
+    for jb in range(0, n_pad, block):
+        width = min(block, n_pad - jb)
+        rows_w = work.shape[0]
+
+        # --- factor the block columns, leaf by leaf -----------------------
+        blk = jax.lax.slice(work, (0, 0), (rows_w, width))
+        vs, ts = [], []
+        for jl in range(0, width, leaf):
+            # kernel slab rows quantized (padded with zero rows, which do
+            # not perturb Householder norms), so only O(M / row_quant)
+            # distinct Mosaic kernel shapes compile across the whole sweep
+            rows = rows_w - jl
+            rows_q = max(leaf, _roundup(rows, row_quant))
+            slab = jax.lax.slice(blk, (jl, jl), (rows_w, jl + leaf))
+            if rows_q > rows:
+                slab = jnp.pad(slab, ((0, rows_q - rows), (0, 0)))
+            vr, t = _leaf_qr(slab, leaf=leaf, interpret=interpret)
+            vr = jax.lax.slice(vr, (0, 0), (rows, leaf))
+            blk = jax.lax.dynamic_update_slice(blk, vr, (jl, jl))
+            v, _ = _split_vr(vr, leaf)
+            rest_w = width - (jl + leaf)
+            if rest_w > 0:
+                rest = jax.lax.slice(blk, (jl, jl + leaf), (rows_w, width))
+                y = _dot(v.T, rest, precision)
+                rest = rest - _dot(v, _dot(t.T, y, precision), precision)
+                blk = jax.lax.dynamic_update_slice(blk, rest, (jl, jl + leaf))
+            vs.append((jl, v))
+            ts.append(t)
+
+        # --- merge leaf reflectors into one block-wide compact WY ---------
+        v_blk = jnp.zeros((rows_w, width), dtype)
+        for i, (jl, v) in enumerate(vs):
+            v_pad = jnp.pad(v, ((jl, 0), (0, 0)))
+            v_blk = jax.lax.dynamic_update_slice(v_blk, v_pad, (0, i * leaf))
+        t_blk = ts[0]
+        for i in range(1, len(ts)):
+            w1 = t_blk.shape[0]
+            v1 = jax.lax.slice(v_blk, (0, 0), (rows_w, w1))
+            v2 = jax.lax.slice(v_blk, (0, w1), (rows_w, w1 + leaf))
+            cross = _dot(v1.T, v2, precision)
+            t12 = -_dot(_dot(t_blk, cross, precision), ts[i], precision)
+            t_blk = jnp.concatenate(
+                (
+                    jnp.concatenate((t_blk, t12), axis=1),
+                    jnp.concatenate((jnp.zeros((leaf, w1), dtype), ts[i]), axis=1),
+                ),
+                axis=0,
+            )
+
+        # --- one trailing update, then shrink ------------------------------
+        r_blk = jnp.triu(jax.lax.slice(blk, (0, 0), (width, width)))
+        trail_w = n_pad - (jb + width)
+        if trail_w > 0:
+            trail = jax.lax.slice(work, (0, width), (rows_w, width + trail_w))
+            y = _dot(v_blk.T, trail, precision)
+            trail = trail - _dot(v_blk, _dot(t_blk.T, y, precision), precision)
+            r_strips.append(
+                jnp.concatenate(
+                    (r_blk, jax.lax.slice(trail, (0, 0), (width, trail_w))),
+                    axis=1,
+                )
+            )
+            # next block's active submatrix: rows/cols past this block
+            work = jax.lax.slice(trail, (width, 0), (rows_w, trail_w))
+        else:
+            r_strips.append(r_blk)
+
+    R = jnp.zeros((n_pad, n_pad), dtype)
+    for i, strip in enumerate(r_strips):
+        R = jax.lax.dynamic_update_slice(R, strip, (i * block, i * block))
+    return R[:N, :N]
+
+
+# ---------------------------------------------------------------------------
+# Transposed orientation: LQ of W = A^T ("wide" Householder), L = R^T.
+#
+# On TPU the wide orientation is strictly better for this workload:
+# * the long (M) dimension lies on the 128-lane axis, so every VPU op in the
+#   leaf kernel uses all lanes (the (rows, leaf) slab of the R-form keeps
+#   only `leaf` of 128 lanes busy),
+# * the pivot row is a *static sublane slice* (w_ref[k]) instead of a masked
+#   full-slab reduction, and
+# * the step's pre-array assembles from [HACl, HQl, E; ACl, Ql, 0] with NO
+#   transposes of the big factors (they enter pre-transposed by definition).
+# ---------------------------------------------------------------------------
+
+
+def _leaf_lq_kernel(w_in, lv_out, t_out, *, leaf: int, off: int):
+    """Householder LQ of a (leaf, cols) wide slab, diagonal at lane off + k.
+
+    ``lv_out``: L values at lanes <= off + row (beta on the diagonal lane),
+    reflector tails at lanes > off + row (unit diagonal implicit).
+    ``t_out``: (leaf, leaf) — stores T^T (lower triangular, tau on the
+    diagonal) of the compact-WY ``Q = I - V^T T V`` (V rows = reflectors).
+    """
+    cols = w_in.shape[1]
+    dtype = w_in.dtype
+    lv_out[:] = w_in[:]
+    t_out[:] = jnp.zeros((leaf, leaf), dtype)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (leaf, 1), 0)
+    t_rows = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    t_lanes = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    for k in range(leaf):
+        x = lv_out[k : k + 1, :]  # (1, cols) static sublane slice
+        d_eq = lane_ids == off + k
+        d_gt = lane_ids > off + k
+        alpha = jnp.sum(jnp.where(d_eq, x, zero))
+        sigma = jnp.sum(jnp.where(d_gt, x * x, zero))
+        norm = jnp.sqrt(alpha * alpha + sigma)
+        sign = jnp.where(alpha >= 0, one, -one)
+        beta = -sign * norm
+        denom = alpha - beta
+        safe = norm > 0
+        inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
+        tau = jnp.where(safe, (beta - alpha) / jnp.where(safe, beta, one), zero)
+
+        v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))  # (1, cols)
+
+        w = lv_out[:]  # (leaf, cols)
+        s = jnp.sum(w * v, axis=1, keepdims=True)  # (leaf, 1) lane reduction
+        upd = w - (tau * s) * v
+        row_k_new = jnp.where(d_eq, beta, jnp.where(d_gt, x * inv_denom, x))
+        lv_out[:] = jnp.where(
+            row_ids > k, upd, jnp.where(row_ids == k, row_k_new, w)
+        )
+
+        # T^T recurrence (row k of T^T): -tau * z^T T^T with z = s[:k];
+        # rows < k of v are zero on the already-finalized L lanes, so the
+        # stored L entries never contaminate s.
+        z = jnp.where(row_ids < k, s, zero)  # (leaf, 1)
+        tT_cur = t_out[:]
+        tT_row = -tau * jnp.sum(z * tT_cur, axis=0, keepdims=True)  # (1, leaf)
+        t_col_new = jnp.where(
+            t_lanes == k, tau, jnp.where(t_lanes < k, tT_row, zero)
+        )
+        t_out[:] = jnp.where(t_rows == k, t_col_new, tT_cur)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "off", "interpret"))
+def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
+    """Run the wide leaf kernel on one (leaf, cols) slab."""
+    cols = slab.shape[1]
+    dtype = slab.dtype
+    kernel = functools.partial(_leaf_lq_kernel, leaf=leaf, off=off)
+    if _HAS_PLTPU and not interpret:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+    else:
+        in_specs = [pl.BlockSpec(slab.shape, lambda: (0, 0))]
+        out_specs = (
+            pl.BlockSpec((leaf, cols), lambda: (0, 0)),
+            pl.BlockSpec((leaf, leaf), lambda: (0, 0)),
+        )
+    lv, t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((leaf, cols), dtype),
+            jax.ShapeDtypeStruct((leaf, leaf), dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret or not _HAS_PLTPU,
+    )(slab)
+    return lv, t
+
+
+def _dot_nt(a, b, precision):
+    """a @ b^T without materializing the transpose."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=a.dtype,
+        precision=_PRECISIONS[precision],
+    )
+
+
+def _split_lv(lv, off: int):
+    """(V_W with unit diagonal, rows = reflectors) from a wide leaf output."""
+    leaf, cols = lv.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 1)
+    diag = lane_ids - off
+    return jnp.where(
+        diag > row_ids, lv, jnp.where(diag == row_ids, 1.0, 0.0)
+    ).astype(lv.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "block", "lane_quant", "interpret", "precision"),
+)
+def blocked_lq_l(
+    W,
+    *,
+    leaf: int = 32,
+    block: int = 128,
+    lane_quant: int = 2048,
+    interpret: bool = False,
+    precision: str = "highest",
+):
+    """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
+    (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
+    the TPU-friendly wide orientation."""
+    Nr, M = W.shape
+    if M < Nr:
+        raise ValueError(f"blocked_lq_l requires cols >= rows, got {W.shape}")
+    block = max(block, leaf)
+    dtype = W.dtype
+
+    n_pad = _roundup(Nr, block)
+    W = jnp.pad(W, ((0, n_pad - Nr), (0, max(n_pad - M, 0))))
+
+    work = W
+    l_strips = []  # (n_pad - jb, block) finalized L columns per block
+    for jb in range(0, n_pad, block):
+        width = min(block, n_pad - jb)
+        cols_w = work.shape[1]
+
+        # --- factor the block rows, leaf by leaf ---------------------------
+        blk = jax.lax.slice(work, (0, 0), (width, cols_w))
+        vs, ts = [], []
+        for jl in range(0, width, leaf):
+            cols_q = max(_roundup(cols_w, lane_quant), leaf + jl)
+            slab = jax.lax.slice(blk, (jl, 0), (jl + leaf, cols_w))
+            if cols_q > cols_w:
+                slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
+            lv, t = _leaf_lq(slab, leaf=leaf, off=jl, interpret=interpret)
+            lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
+            blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
+            v = _split_lv(lv, jl)  # (leaf, cols_w) reflector rows
+            rest_h = width - (jl + leaf)
+            if rest_h > 0:
+                rest = jax.lax.slice(blk, (jl + leaf, 0), (width, cols_w))
+                u = _dot_nt(rest, v, precision)  # (rest_h, leaf)
+                # t stores T^T: U T = U (T^T)^T
+                rest = rest - _dot(_dot_nt(u, t, precision), v, precision)
+                blk = jax.lax.dynamic_update_slice(blk, rest, (jl + leaf, 0))
+            vs.append(v)
+            ts.append(t)
+
+        # --- merge leaf reflectors into one block-wide compact WY ---------
+        v_blk = jnp.concatenate(vs, axis=0)  # (width, cols_w)
+        tT_blk = ts[0]
+        for i in range(1, len(ts)):
+            w1 = tT_blk.shape[0]
+            v1 = jax.lax.slice(v_blk, (0, 0), (w1, cols_w))
+            v2 = vs[i]
+            cross = _dot_nt(v1, v2, precision)  # (w1, leaf) = V1 V2^T
+            # T^T12 = -T2^T cross^T T1^T
+            t12T = -_dot(_dot(ts[i], cross.T, precision), tT_blk, precision)
+            tT_blk = jnp.concatenate(
+                (
+                    jnp.concatenate((tT_blk, jnp.zeros((w1, leaf), dtype)), axis=1),
+                    jnp.concatenate((t12T, ts[i]), axis=1),
+                ),
+                axis=0,
+            )
+
+        # --- one trailing update, then shrink ------------------------------
+        l_blk = jnp.tril(jax.lax.slice(blk, (0, 0), (width, width)))
+        trail_h = n_pad - (jb + width)
+        if trail_h > 0:
+            trail = jax.lax.slice(work, (width, 0), (width + trail_h, cols_w))
+            u = _dot_nt(trail, v_blk, precision)  # (trail_h, width)
+            trail = trail - _dot(_dot_nt(u, tT_blk, precision), v_blk, precision)
+            l_strips.append(
+                jnp.concatenate(
+                    (l_blk, jax.lax.slice(trail, (0, 0), (trail_h, width))),
+                    axis=0,
+                )
+            )
+            work = jax.lax.slice(trail, (0, width), (trail_h, cols_w))
+        else:
+            l_strips.append(l_blk)
+
+    L = jnp.zeros((n_pad, n_pad), dtype)
+    for i, strip in enumerate(l_strips):
+        L = jax.lax.dynamic_update_slice(L, strip, (i * block, i * block))
+    return L[:Nr, :Nr]
+
+
+# ---------------------------------------------------------------------------
+# Factorization hook for the white-noise step (sqrt.fused_predict_update
+# contract: see pnmol_tpu/solvers/white.py `factorization=`).
+# ---------------------------------------------------------------------------
+
+
+def make_householder_factorization(
+    *, leaf: int = 32, block: int = 128, row_quant: int = 2048,
+    interpret: bool = False, precision: str = "highest",
+):
+    """A ``factorization=`` hook running the pre-array QR through
+    :func:`blocked_qr_r` instead of XLA's QR.
+
+    Same contract as :func:`pnmol_tpu.ops.sqrt.fused_predict_update`:
+    ``(HACl, ACl, HQl, Ql, R) -> (posterior_factor, gain, innovation_factor)``.
+    """
+
+    def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
+        m, D = HACl.shape
+        top = jnp.concatenate((HACl.T, ACl.T), axis=1)
+        mid = jnp.concatenate((HQl.T, Ql.T), axis=1)
+        bottom = jnp.concatenate(
+            (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HACl.dtype)), axis=1
+        )
+        pre = jnp.concatenate((top, mid, bottom), axis=0)  # (2D + m, m + D)
+        R = blocked_qr_r(
+            pre, leaf=leaf, block=block, row_quant=row_quant,
+            interpret=interpret, precision=precision,
+        )
+        R1 = R[:m, :m]
+        R2 = R[:m, m:]
+        R3 = R[m:, m:]
+        gain = jax.scipy.linalg.solve_triangular(R1, R2, lower=False).T
+        return R3.T, gain, R1.T
+
+    return factorization
+
+
+def make_householder_lq_factorization(
+    *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
+    interpret: bool = False, precision: str = "highest",
+):
+    """A ``factorization=`` hook running the pre-array factorization in the
+    wide (LQ) orientation of :func:`blocked_lq_l` — the TPU-preferred form:
+    the pre-array transpose assembles with NO transposes of the big factors
+    and every kernel op runs at full lane width.
+
+    Same contract as :func:`pnmol_tpu.ops.sqrt.fused_predict_update`.
+    """
+
+    def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
+        m, D = HACl.shape
+        # W = pre_array^T = [[HACl, HQl, E], [ACl, Ql, 0]]  ((m+D) x (2D+m))
+        top = jnp.concatenate((HACl, HQl, meascov_sqrtm), axis=1)
+        bottom = jnp.concatenate(
+            (ACl, Ql, jnp.zeros((D, m), dtype=HACl.dtype)), axis=1
+        )
+        W = jnp.concatenate((top, bottom), axis=0)
+        L = blocked_lq_l(
+            W, leaf=leaf, block=block, lane_quant=lane_quant,
+            interpret=interpret, precision=precision,
+        )
+        L1 = L[:m, :m]  # innovation factor (lower), directly
+        L21 = L[m:, :m]
+        L3 = L[m:, m:]  # posterior factor (lower), directly
+        # gain = S_xz S_zz^{-1} = (L21 L1^T)(L1 L1^T)^{-1} = L21 L1^{-1}
+        gain = jax.scipy.linalg.solve_triangular(
+            L1, L21.T, lower=True, trans=1
+        ).T
+        return L3, gain, L1
+
+    return factorization

@@ -1,0 +1,103 @@
+"""Blocked Householder QR (Pallas leaf kernel) vs dense oracles.
+
+Runs the kernel in interpreter mode on the CPU test platform (same pattern
+as tests/test_ops/test_pallas_gram.py); the TPU-compiled path is exercised
+by experiments/qr_probe.py and the large-N scale runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnmol_tpu.ops import qr_householder as qh
+from pnmol_tpu.ops import sqrt
+
+
+@pytest.mark.parametrize(
+    "shape", [(40, 17), (64, 64), (130, 50), (97, 33)], ids=str
+)
+def test_gram_matches_dense_qr(shape):
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal(shape))
+    R = qh.blocked_qr_r(A, leaf=8, block=16, row_quant=32, interpret=True)
+    assert R.shape == (shape[1], shape[1])
+    # any valid QR has the same Gram as the matrix itself
+    np.testing.assert_allclose(R.T @ R, A.T @ A, rtol=1e-10, atol=1e-10)
+    assert float(jnp.max(jnp.abs(jnp.tril(R, -1)))) == 0.0
+
+
+def test_degenerate_columns():
+    """Zero and duplicate columns (noise-free Dirichlet measurement rows
+    produce exactly-singular pre-array directions)."""
+    rng = np.random.default_rng(2)
+    A = jnp.asarray(rng.standard_normal((50, 12)))
+    A = A.at[:, 3].set(0.0)
+    A = A.at[:, 7].set(A[:, 2])
+    R = qh.blocked_qr_r(A, leaf=4, block=8, row_quant=16, interpret=True)
+    np.testing.assert_allclose(R.T @ R, A.T @ A, rtol=1e-10, atol=1e-12)
+    assert bool(jnp.all(jnp.isfinite(R)))
+
+
+def test_factorization_hook_matches_fused_predict_update():
+    """The pre-array factorization hook reproduces sqrt.fused_predict_update
+    (posterior factor in Gram, gain and innovation factor exactly)."""
+    rng = np.random.default_rng(3)
+    D, m = 24, 9
+    HACl = jnp.asarray(rng.standard_normal((m, D)))
+    ACl = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    HQl = jnp.asarray(rng.standard_normal((m, D)))
+    Ql = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    Rm = jnp.asarray(np.tril(rng.standard_normal((m, m))))
+
+    fact = qh.make_householder_factorization(
+        leaf=8, block=16, row_quant=32, interpret=True
+    )
+    C_hh, K_hh, S_hh = fact(HACl, ACl, HQl, Ql, Rm)
+    C_ref, K_ref, S_ref = sqrt.fused_predict_update(HACl, ACl, HQl, Ql, Rm)
+
+    np.testing.assert_allclose(C_hh @ C_hh.T, C_ref @ C_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(S_hh @ S_hh.T, S_ref @ S_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(K_hh, K_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_wide_matrix_rejected():
+    with pytest.raises(ValueError):
+        qh.blocked_qr_r(jnp.zeros((3, 5)), interpret=True)
+    with pytest.raises(ValueError):
+        qh.blocked_lq_l(jnp.zeros((5, 3)), interpret=True)
+
+
+@pytest.mark.parametrize("shape", [(17, 40), (64, 64), (33, 257)], ids=str)
+def test_lq_gram_matches(shape):
+    """Wide (LQ) orientation: L L^T == W W^T, L lower triangular."""
+    rng = np.random.default_rng(4)
+    W = jnp.asarray(rng.standard_normal(shape))
+    W = W.at[min(3, shape[0] - 1), :].set(0.0)  # degenerate row
+    L = qh.blocked_lq_l(W, leaf=8, block=16, lane_quant=64, interpret=True)
+    assert L.shape == (shape[0], shape[0])
+    np.testing.assert_allclose(L @ L.T, W @ W.T, rtol=1e-10, atol=1e-10)
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+
+def test_lq_factorization_hook_matches_fused_predict_update():
+    rng = np.random.default_rng(5)
+    D, m = 24, 9
+    HACl = jnp.asarray(rng.standard_normal((m, D)))
+    ACl = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    HQl = jnp.asarray(rng.standard_normal((m, D)))
+    Ql = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    Rm = jnp.asarray(np.tril(rng.standard_normal((m, m))))
+
+    fact = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    C_hh, K_hh, S_hh = fact(HACl, ACl, HQl, Ql, Rm)
+    C_ref, K_ref, S_ref = sqrt.fused_predict_update(HACl, ACl, HQl, Ql, Rm)
+
+    np.testing.assert_allclose(C_hh @ C_hh.T, C_ref @ C_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(S_hh @ S_hh.T, S_ref @ S_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(K_hh, K_ref, rtol=1e-8, atol=1e-9)
+    # L-form returns the posterior and innovation factors lower-triangular
+    assert float(jnp.max(jnp.abs(jnp.triu(C_hh, 1)))) == 0.0
+    assert float(jnp.max(jnp.abs(jnp.triu(S_hh, 1)))) == 0.0
