@@ -22,7 +22,10 @@ Prints ONE JSON line:
 
 Env knobs: PNMOL_BENCH_N (grid points, default 512), PNMOL_BENCH_STEPS,
 PNMOL_BENCH_REPEATS, PNMOL_BENCH_FUSED (1 = single pre-array QR, default),
-PNMOL_BENCH_MATMUL_PRECISION (default | tensorfloat32 | highest).
+PNMOL_BENCH_MATMUL_PRECISION (default | tensorfloat32 | highest),
+PNMOL_BENCH_FACTORIZATION (householder = Pallas blocked Householder LQ on
+the device run, the measured-faster default; xla = XLA's QR). The CPU
+oracle always uses XLA's QR (the reference pipeline).
 """
 
 import json
@@ -32,7 +35,8 @@ import sys
 import time
 
 # Measured on TPU v5e (single chip, f32 end-to-end, forced-completion
-# timing): N=512 -> 161 steps/s (115x the CPU-f64 oracle); see docs/SCALE.md
+# timing): N=512 -> 244.7 steps/s with the Pallas blocked Householder LQ
+# (157x the CPU-f64 oracle; 161 steps/s with XLA's QR); see docs/SCALE.md
 # for the full ladder up to N=8192 and the 2-D/3-D families.
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
@@ -41,6 +45,9 @@ REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 FUSED = os.environ.get("PNMOL_BENCH_FUSED", "1") == "1"
 MATMUL_PRECISION = os.environ.get("PNMOL_BENCH_MATMUL_PRECISION", "default")
 NU = int(os.environ.get("PNMOL_BENCH_NU", "2"))
+# Pallas blocked Householder LQ: same stability as XLA's QR (f64-oracle
+# verified, docs/SCALE.md) and 1.4x/1.8x faster at N=512/2048 on v5e.
+FACTORIZATION = os.environ.get("PNMOL_BENCH_FACTORIZATION", "householder")
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. f32 work on the MXU runs
 # through multi-pass bf16, so MFU is reported against the bf16 peak.
@@ -90,6 +97,12 @@ def _child(mode: str) -> None:
     cov = state.y.cov_sqrtm
     dt = jnp.asarray(1e-3, dtype)
 
+    factorization = None
+    if mode == "device" and FACTORIZATION == "householder":
+        from pnmol_tpu.ops import qr_householder
+
+        factorization = qr_householder.make_householder_lq_factorization()
+
     @jax.jit
     def run(cache, mean, cov):
         def body(carry, t):
@@ -97,6 +110,7 @@ def _child(mode: str) -> None:
             m, c, _, _, _ = white_module.white_attempt_step(
                 cache, m, c, t, dt,
                 num_derivatives=NU, f=None, df=None, linear=True, fused=FUSED,
+                factorization=factorization,
             )
             return (m, c), None
 
@@ -194,6 +208,7 @@ def main():
                     "compile_seconds_device": device["compile_seconds"],
                     "build_seconds_device": device["build_seconds"],
                     "fused_qr": FUSED,
+                    "factorization": FACTORIZATION,
                     "matmul_precision": MATMUL_PRECISION,
                     "f32_end_to_end": True,
                 },

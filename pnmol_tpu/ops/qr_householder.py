@@ -383,11 +383,18 @@ def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
     cols = slab.shape[1]
     dtype = slab.dtype
     kernel = functools.partial(_leaf_lq_kernel, leaf=leaf, off=off)
+    extra = {}
     if _HAS_PLTPU and not interpret:
         in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
         out_specs = (
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        # the default 16 MB scoped-vmem limit is too tight for the unrolled
+        # column loop's live temporaries at wide slabs; v5e has 128 MB VMEM
+        slab_bytes = cols * leaf * slab.dtype.itemsize
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(110 * 2**20, 10 * slab_bytes + 2**21)
         )
     else:
         in_specs = [pl.BlockSpec(slab.shape, lambda: (0, 0))]
@@ -404,6 +411,7 @@ def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret or not _HAS_PLTPU,
+        **extra,
     )(slab)
     return lv, t
 

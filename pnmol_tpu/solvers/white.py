@@ -273,13 +273,21 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     semantics).
 
     ``factorization`` swaps the pre-array factorization of the step kernel
-    (``(HACl, ACl, HQl, Ql, R) -> (posterior_factor, gain, innovation)``) —
-    e.g. ``functools.partial(parallel.sharded_filter.pre_array_blocked_qr,
-    mesh=...)``: the all-matmul panel factorization, 2.5x faster than XLA's
-    QR on the MXU but with an eps*cond posterior-factor error in f32
-    (exact in f64); see docs/SCALE.md. The callable is a jit *static*
-    compared by object identity — reuse ONE instance across solvers, or
-    every solver recompiles the step kernel.
+    (``(HACl, ACl, HQl, Ql, R) -> (posterior_factor, gain, innovation)``).
+    Accepted values:
+
+    * ``None`` (default): one fused pre-array QR through XLA's Householder.
+    * ``"householder"``: the Pallas blocked Householder LQ
+      (:func:`pnmol_tpu.ops.qr_householder.make_householder_lq_factorization`)
+      — same Householder stability, measured faster than XLA's QR on TPU
+      (docs/SCALE.md).
+    * any callable — e.g.
+      ``functools.partial(parallel.sharded_filter.pre_array_blocked_qr,
+      mesh=...)``: the all-matmul panel factorization, 2.5x faster than
+      XLA's QR on the MXU but with an eps*cond posterior-factor error in
+      f32 (exact in f64); see docs/SCALE.md. A callable is a jit *static*
+      compared by object identity — reuse ONE instance across solvers, or
+      every solver recompiles the step kernel.
     """
 
     LINEAR: bool = True
@@ -288,6 +296,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                  **kwargs):
         super().__init__(*args, **kwargs)
         self.meascov_dt_scaled = meascov_dt_scaled
+        if factorization == "householder":
+            from pnmol_tpu.ops import qr_householder
+
+            factorization = qr_householder.make_householder_lq_factorization()
         self.factorization = factorization
 
     @property
