@@ -25,7 +25,7 @@ def _sync(x):
     return x
 
 
-def demo_step(n_side, nu, num_steps, fused, dim=2):
+def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla"):
     import pnmol_tpu
     from pnmol_tpu import discretize, kernels
     from pnmol_tpu.odetools import step as step_module
@@ -64,6 +64,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2):
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=nu,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
+        factorization=None if factorization == "xla" else factorization,
     )
     state = solver.initialize(heat)
     _sync(state.y.cov_sqrtm)
@@ -79,6 +80,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2):
             m, c, _, _, _ = white_module.white_attempt_step(
                 cache, m, c, t, dt,
                 num_derivatives=nu, f=None, df=None, linear=True, fused=fused,
+                factorization=solver.factorization,
             )
             return (m, c), None
 
@@ -88,11 +90,13 @@ def demo_step(n_side, nu, num_steps, fused, dim=2):
     t0 = time.perf_counter()
     out = run(cache, state.y.mean, state.y.cov_sqrtm)
     _sync(out)
+    float(jnp.sum(out[0]))  # force remote completion
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out = run(cache, state.y.mean, state.y.cov_sqrtm)
     _sync(out)
+    float(jnp.sum(out[0]))
     steps_per_sec = num_steps / (time.perf_counter() - t0)
 
     mean_final = out[0]
@@ -174,8 +178,11 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--input-scale", type=float, default=5.0)
+    parser.add_argument("--factorization", choices=("xla", "householder"),
+                        default="xla")
     args = parser.parse_args()
     if args.mode == "step":
-        demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim)
+        demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim,
+                  factorization=args.factorization)
     else:
         demo_gram(args.n, args.input_scale)

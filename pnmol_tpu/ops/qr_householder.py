@@ -233,7 +233,13 @@ def blocked_qr_r(
     # so no O(M x N) buffer is ever update-sliced — the only full-width
     # operation per block is the trailing matmul update itself.
     work = A
-    r_strips = []  # (block, n_pad - jb) final R rows per block
+    # R is assembled progressively INSIDE the block loop: a strip held as a
+    # lazy slice of the trailing-update buffer would keep every block's
+    # (rows x cols) trail alive until the end of the sweep (observed 90 GB
+    # peak at N=4096 — one ~1.6 GB dot buffer per block, all simultaneously
+    # live); the in-loop dynamic_update_slice consumes the slice and lets
+    # each trail buffer die with its block.
+    R = jnp.zeros((n_pad, n_pad), dtype)
     for jb in range(0, n_pad, block):
         width = min(block, n_pad - jb)
         rows_w = work.shape[0]
@@ -290,20 +296,16 @@ def blocked_qr_r(
             trail = jax.lax.slice(work, (0, width), (rows_w, width + trail_w))
             y = _dot(v_blk.T, trail, precision)
             trail = trail - _dot(v_blk, _dot(t_blk.T, y, precision), precision)
-            r_strips.append(
-                jnp.concatenate(
-                    (r_blk, jax.lax.slice(trail, (0, 0), (width, trail_w))),
-                    axis=1,
-                )
+            strip = jnp.concatenate(
+                (r_blk, jax.lax.slice(trail, (0, 0), (width, trail_w))),
+                axis=1,
             )
             # next block's active submatrix: rows/cols past this block
             work = jax.lax.slice(trail, (width, 0), (rows_w, trail_w))
         else:
-            r_strips.append(r_blk)
+            strip = r_blk
+        R = jax.lax.dynamic_update_slice(R, strip, (jb, jb))
 
-    R = jnp.zeros((n_pad, n_pad), dtype)
-    for i, strip in enumerate(r_strips):
-        R = jax.lax.dynamic_update_slice(R, strip, (i * block, i * block))
     return R[:N, :N]
 
 
@@ -462,7 +464,8 @@ def blocked_lq_l(
     W = jnp.pad(W, ((0, n_pad - Nr), (0, max(n_pad - M, 0))))
 
     work = W
-    l_strips = []  # (n_pad - jb, block) finalized L columns per block
+    # progressive in-loop assembly — see the liveness note in blocked_qr_r
+    L = jnp.zeros((n_pad, n_pad), dtype)
     for jb in range(0, n_pad, block):
         width = min(block, n_pad - jb)
         cols_w = work.shape[1]
@@ -514,19 +517,15 @@ def blocked_lq_l(
             trail = jax.lax.slice(work, (width, 0), (width + trail_h, cols_w))
             u = _dot_nt(trail, v_blk, precision)  # (trail_h, width)
             trail = trail - _dot(_dot_nt(u, tT_blk, precision), v_blk, precision)
-            l_strips.append(
-                jnp.concatenate(
-                    (l_blk, jax.lax.slice(trail, (0, 0), (trail_h, width))),
-                    axis=0,
-                )
+            strip = jnp.concatenate(
+                (l_blk, jax.lax.slice(trail, (0, 0), (trail_h, width))),
+                axis=0,
             )
             work = jax.lax.slice(trail, (0, width), (trail_h, cols_w))
         else:
-            l_strips.append(l_blk)
+            strip = l_blk
+        L = jax.lax.dynamic_update_slice(L, strip, (jb, jb))
 
-    L = jnp.zeros((n_pad, n_pad), dtype)
-    for i, strip in enumerate(l_strips):
-        L = jax.lax.dynamic_update_slice(L, strip, (i * block, i * block))
     return L[:Nr, :Nr]
 
 
@@ -566,6 +565,59 @@ def make_householder_factorization(
         return R3.T, gain, R1.T
 
     return factorization
+
+
+def make_householder_update_from_products(
+    *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
+    interpret: bool = False, precision: str = "highest",
+):
+    """Householder-LQ drop-in for
+    :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
+    ``(HC, C, R) -> (posterior_factor, gain, innovation_factor)`` with the
+    pre-array transpose ``[[HC, R], [C, 0]]`` assembled transpose-free.
+    Used by the solver initialization (its ``(D+m) x (m+D)`` QR is the
+    single-chip memory peak at large N) and valid anywhere the dense-tier
+    function is."""
+
+    def update(HC, C, meascov_sqrtm):
+        m, D = HC.shape
+        top = jnp.concatenate((HC, meascov_sqrtm), axis=1)
+        bottom = jnp.concatenate(
+            (C, jnp.zeros((D, m), dtype=C.dtype)), axis=1
+        )
+        W = jnp.concatenate((top, bottom), axis=0)  # (m + D, D + m)
+        L = blocked_lq_l(
+            W, leaf=leaf, block=block, lane_quant=lane_quant,
+            interpret=interpret, precision=precision,
+        )
+        L1 = L[:m, :m]
+        L21 = L[m:, :m]
+        L3 = L[m:, m:]
+        gain = jax.scipy.linalg.solve_triangular(
+            L1, L21.T, lower=True, trans=1
+        ).T
+        return L3, gain, L1
+
+    return update
+
+
+def make_householder_propagate(
+    *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
+    interpret: bool = False, precision: str = "highest",
+):
+    """Householder-LQ drop-in for
+    :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
+    factor of ``S1 S1^T + S2 S2^T`` from one LQ of ``[S1 S2]`` — no
+    transposes, L returned lower-triangular directly."""
+
+    def propagate(S1, S2):
+        return blocked_lq_l(
+            jnp.concatenate((S1, S2), axis=1),
+            leaf=leaf, block=block, lane_quant=lane_quant,
+            interpret=interpret, precision=precision,
+        )
+
+    return propagate
 
 
 def make_householder_lq_factorization(

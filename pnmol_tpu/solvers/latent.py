@@ -61,11 +61,14 @@ def _measurement_operator_latent(cache, G, p, n, d):
 
 def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
                         f: Optional[Callable], df: Optional[Callable],
-                        linear: bool, fused: bool = True):
+                        linear: bool, fused: bool = True, factorization=None):
     """Jitted latent-force EK1 attempt-step kernel.
 
     ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
     to the reference ``attempt_step`` (``latent.py:155-225``).
+    ``factorization`` swaps the pre-array factorization exactly as in the
+    white solvers (the latent pre-array is the same shape family with a
+    zero measurement-noise block).
     """
     return functools.partial(
         latent_attempt_step,
@@ -75,14 +78,17 @@ def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
         df=df,
         linear=linear,
         fused=fused,
+        factorization=factorization,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_derivatives", "f", "df", "linear", "fused")
+    jax.jit,
+    static_argnames=("num_derivatives", "f", "df", "linear", "fused",
+                     "factorization"),
 )
 def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
-                        f, df, linear, fused):
+                        f, df, linear, fused, factorization=None):
     """One latent-force EK1 attempt step (module-level jit: compilations
     shared across solver instances with the same shapes and statics)."""
     n = num_derivatives + 1
@@ -128,7 +134,11 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Predict + update covariance] (noise-free measurement)
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-    if fused:
+    if factorization is not None:
+        HACl = apply_H(ACl)
+        zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
+        Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, zeros_R)
+    elif fused:
         HACl = apply_H(ACl)
         zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
         Cl_new, K, Sl = sqrt.fused_predict_update(
@@ -153,15 +163,28 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
 
 class _LatentForceEK1Base(pdefilter.PDEFilter):
-    """Shared initialization and plumbing of the latent-force solvers."""
+    """Shared initialization and plumbing of the latent-force solvers.
+
+    ``factorization`` swaps the pre-array factorization of the step kernel,
+    exactly as in the white solvers (``None`` = XLA QR; ``"householder"`` =
+    the Pallas blocked Householder LQ; or any callable with the
+    ``fused_predict_update`` contract). The latent pre-array is twice the
+    white solver's in both dimensions, so the Householder speedup matters
+    even more here.
+    """
 
     LINEAR: bool = True
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, factorization=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.ssm = None
         self.state_iwp = None
         self.lf_iwp = None
+        if factorization == "householder":
+            from pnmol_tpu.ops import qr_householder
+
+            factorization = qr_householder.make_householder_lq_factorization()
+        self.factorization = factorization
 
     @property
     def supports_adaptive_steps(self):
@@ -213,6 +236,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             f=f,
             df=df,
             linear=self.LINEAR,
+            factorization=self.factorization,
         )
 
         # [Init] update the state half on y0 in closed form (see

@@ -296,10 +296,16 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                  **kwargs):
         super().__init__(*args, **kwargs)
         self.meascov_dt_scaled = meascov_dt_scaled
+        self._init_update = None
         if factorization == "householder":
             from pnmol_tpu.ops import qr_householder
 
             factorization = qr_householder.make_householder_lq_factorization()
+            # the initialization's (D+m) x (m+D) QR is the single-chip
+            # memory peak at large N; route it through the blocked LQ too
+            self._init_update = (
+                qr_householder.make_householder_update_from_products()
+            )
         self.factorization = factorization
 
     @property
@@ -372,7 +378,8 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         apply_H = _measurement_operator(self._cache, G_lin, ones, n)
         HC = apply_H(C0_y0)
         nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0], dtype=dtype)
-        C0, kgain, _ = sqrt.update_sqrt_from_products(
+        init_update = self._init_update or sqrt.update_sqrt_from_products
+        C0, kgain, _ = init_update(
             HC, C0_y0, self._cache.E_bc_sqrtm + nugget_pde
         )
         m0_flat = iwp.mean_to_flat(jnp.zeros((n, d), dtype=dtype).at[0].set(u0))

@@ -80,6 +80,92 @@ def test_lq_gram_matches(shape):
     assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
 
 
+def test_update_from_products_and_propagate_match_sqrt_tier():
+    """The LQ drop-ins for update_sqrt_from_products / propagate_cholesky
+    match the dense tier (Grams exactly; gain exactly)."""
+    rng = np.random.default_rng(6)
+    D, m = 20, 7
+    HC = jnp.asarray(rng.standard_normal((m, D)))
+    C = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    Rm = jnp.asarray(np.tril(rng.standard_normal((m, m))))
+
+    upd = qh.make_householder_update_from_products(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    C_hh, K_hh, S_hh = upd(HC, C, Rm)
+    C_ref, K_ref, S_ref = sqrt.update_sqrt_from_products(HC, C, Rm)
+    np.testing.assert_allclose(C_hh @ C_hh.T, C_ref @ C_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(S_hh @ S_hh.T, S_ref @ S_ref.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(K_hh, K_ref, rtol=1e-8, atol=1e-9)
+
+    prop = qh.make_householder_propagate(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    S1 = jnp.asarray(rng.standard_normal((D, D)))
+    S2 = jnp.asarray(rng.standard_normal((D, D)))
+    L = prop(S1, S2)
+    ref = sqrt.propagate_cholesky_factor(S1, S2)
+    np.testing.assert_allclose(L @ L.T, ref @ ref.T, rtol=1e-10, atol=1e-10)
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+
+def test_white_solver_householder_init_and_step():
+    """factorization=\"householder\" routes init AND step through the LQ;
+    the solve matches the default pipeline at oracle precision (f64 CPU,
+    interpret-mode kernels)."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white as white_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.2)
+    ref_solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    sol_ref = ref_solver.solve(heat)
+
+    hh_solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05),
+        factorization=qh.make_householder_lq_factorization(
+            leaf=8, block=16, lane_quant=64, interpret=True
+        ),
+    )
+    hh_solver._init_update = qh.make_householder_update_from_products(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    sol_hh = hh_solver.solve(heat)
+    np.testing.assert_allclose(sol_hh.mean, sol_ref.mean, rtol=1e-8, atol=1e-10)
+    cov_ref = sol_ref.cov_sqrtm[-1] @ sol_ref.cov_sqrtm[-1].T
+    cov_hh = sol_hh.cov_sqrtm[-1] @ sol_hh.cov_sqrtm[-1].T
+    np.testing.assert_allclose(cov_hh, cov_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_latent_solver_householder_step():
+    """The latent solvers accept the factorization hook (noise-free
+    pre-array) and match the default pipeline at oracle precision."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.2)
+    ref = pnmol_tpu.latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    final_ref, _ = ref.simulate_final_state(heat)
+
+    hh = pnmol_tpu.latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(dt=0.05),
+        factorization=qh.make_householder_lq_factorization(
+            leaf=8, block=16, lane_quant=64, interpret=True
+        ),
+    )
+    final_hh, _ = hh.simulate_final_state(heat)
+    np.testing.assert_allclose(
+        final_hh.y.mean, final_ref.y.mean, rtol=1e-8, atol=1e-10
+    )
+    cov_ref = final_ref.y.cov_sqrtm @ final_ref.y.cov_sqrtm.T
+    cov_hh = final_hh.y.cov_sqrtm @ final_hh.y.cov_sqrtm.T
+    np.testing.assert_allclose(cov_hh, cov_ref, rtol=1e-7, atol=1e-10)
+
+
 def test_lq_factorization_hook_matches_fused_predict_update():
     rng = np.random.default_rng(5)
     D, m = 24, 9
