@@ -145,7 +145,6 @@ def _leaf_kernel(a_in, vr_out, t_out, *, leaf: int):
         t_out[:] = jnp.where(t_cols == k, t_col, t_cur)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "interpret"))
 def _leaf_qr(slab, *, leaf: int, interpret: bool = False):
     """Run the leaf kernel on one (rows, leaf) slab."""
     rows = slab.shape[0]
@@ -193,11 +192,7 @@ def _split_vr(vr, leaf: int):
     return v, r
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("leaf", "block", "row_quant", "interpret", "precision"),
-)
-def blocked_qr_r(
+def _blocked_qr_r_impl(
     A,
     *,
     leaf: int = 32,
@@ -304,9 +299,29 @@ def blocked_qr_r(
             work = jax.lax.slice(trail, (width, 0), (rows_w, trail_w))
         else:
             strip = r_blk
+            work = work[:0, :0]
         R = jax.lax.dynamic_update_slice(R, strip, (jb, jb))
+        # One barrier per block, threading BOTH the shrunk work matrix and
+        # the accumulating R: it (a) materializes the work slice as its own
+        # buffer (XLA duplicates cheap slices into every consumer, chaining
+        # each block's full trail buffer alive) and (b) pins the R update
+        # into the block's schedule slot (the R chain is off the critical
+        # path, so the scheduler would otherwise sink every DUS - and the
+        # trail operands fused into them - to the end of the sweep).
+        # Without this: 90 GB peak at N=4096 for a 2 GB problem.
+        work, R = jax.lax.optimization_barrier((work, R))
 
     return R[:N, :N]
+
+
+# Public jitted entry point. The hooks below call the *impl* directly so the
+# sweep traces inline into the caller's graph: a nested jit becomes an XLA
+# closed_call whose temporaries defeat cross-block buffer reuse (observed
+# 90 GB peak at N=4096 for a 2 GB problem).
+blocked_qr_r = jax.jit(
+    _blocked_qr_r_impl,
+    static_argnames=("leaf", "block", "row_quant", "interpret", "precision"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +394,6 @@ def _leaf_lq_kernel(w_in, lv_out, t_out, *, leaf: int, off: int):
         t_out[:] = jnp.where(t_rows == k, t_col_new, tT_cur)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "off", "interpret"))
 def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
     """Run the wide leaf kernel on one (leaf, cols) slab."""
     cols = slab.shape[1]
@@ -438,11 +452,7 @@ def _split_lv(lv, off: int):
     ).astype(lv.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("leaf", "block", "lane_quant", "interpret", "precision"),
-)
-def blocked_lq_l(
+def _blocked_lq_l_impl(
     W,
     *,
     leaf: int = 32,
@@ -524,9 +534,19 @@ def blocked_lq_l(
             work = jax.lax.slice(trail, (0, width), (trail_h, cols_w))
         else:
             strip = l_blk
+            work = work[:0, :0]
         L = jax.lax.dynamic_update_slice(L, strip, (jb, jb))
+        # per-block barrier: see the liveness/scheduling note in blocked_qr_r
+        work, L = jax.lax.optimization_barrier((work, L))
 
     return L[:Nr, :Nr]
+
+
+# Public jitted entry point; hooks call the impl directly (see blocked_qr_r).
+blocked_lq_l = jax.jit(
+    _blocked_lq_l_impl,
+    static_argnames=("leaf", "block", "lane_quant", "interpret", "precision"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -554,7 +574,7 @@ def make_householder_factorization(
             (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HACl.dtype)), axis=1
         )
         pre = jnp.concatenate((top, mid, bottom), axis=0)  # (2D + m, m + D)
-        R = blocked_qr_r(
+        R = _blocked_qr_r_impl(
             pre, leaf=leaf, block=block, row_quant=row_quant,
             interpret=interpret, precision=precision,
         )
@@ -586,7 +606,7 @@ def make_householder_update_from_products(
             (C, jnp.zeros((D, m), dtype=C.dtype)), axis=1
         )
         W = jnp.concatenate((top, bottom), axis=0)  # (m + D, D + m)
-        L = blocked_lq_l(
+        L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             interpret=interpret, precision=precision,
         )
@@ -611,7 +631,7 @@ def make_householder_propagate(
     transposes, L returned lower-triangular directly."""
 
     def propagate(S1, S2):
-        return blocked_lq_l(
+        return _blocked_lq_l_impl(
             jnp.concatenate((S1, S2), axis=1),
             leaf=leaf, block=block, lane_quant=lane_quant,
             interpret=interpret, precision=precision,
@@ -629,7 +649,12 @@ def make_householder_lq_factorization(
     the pre-array transpose assembles with NO transposes of the big factors
     and every kernel op runs at full lane width.
 
-    Same contract as :func:`pnmol_tpu.ops.sqrt.fused_predict_update`.
+    Same contract as :func:`pnmol_tpu.ops.sqrt.fused_predict_update`. The
+    returned hook additionally carries ``.propagate`` and
+    ``.update_from_products`` attributes (the two-QR pipeline's primitives),
+    so the solvers can route the memory-lighter non-fused path through the
+    same factorization — at the largest single-chip N the fused pre-array
+    is the HBM peak and the two-QR split is what fits.
     """
 
     def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
@@ -640,7 +665,7 @@ def make_householder_lq_factorization(
             (ACl, Ql, jnp.zeros((D, m), dtype=HACl.dtype)), axis=1
         )
         W = jnp.concatenate((top, bottom), axis=0)
-        L = blocked_lq_l(
+        L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             interpret=interpret, precision=precision,
         )
@@ -653,4 +678,12 @@ def make_householder_lq_factorization(
         ).T
         return L3, gain, L1
 
+    factorization.propagate = make_householder_propagate(
+        leaf=leaf, block=block, lane_quant=lane_quant,
+        interpret=interpret, precision=precision,
+    )
+    factorization.update_from_products = make_householder_update_from_products(
+        leaf=leaf, block=block, lane_quant=lane_quant,
+        interpret=interpret, precision=precision,
+    )
     return factorization

@@ -127,7 +127,15 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Predict + update covariance]
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-    if factorization is not None:
+    if factorization is not None and not fused and hasattr(
+        factorization, "propagate"
+    ):
+        # two-QR pipeline through the custom factorization (memory-lighter:
+        # the fused pre-array is the HBM peak at the largest single-chip N)
+        Clp = factorization.propagate(ACl, cache.Ql)
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = factorization.update_from_products(HClp, Clp, E_bc)
+    elif factorization is not None:
         # pluggable pre-array factorization (e.g. the distributed blocked QR
         # in pnmol_tpu.parallel.sharded_linalg); same contract as
         # sqrt.fused_predict_update

@@ -139,6 +139,40 @@ def test_white_solver_householder_init_and_step():
     np.testing.assert_allclose(cov_hh, cov_ref, rtol=1e-8, atol=1e-12)
 
 
+def test_two_qr_routing_through_hook():
+    """fused=False + a hook carrying .propagate/.update_from_products runs
+    the two-QR pipeline through the Householder drop-ins (the memory-light
+    split used at the largest single-chip N) and matches the fused result."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white as white_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.2)
+    solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    state = solver.initialize(heat)
+    mean, cov = state.y.mean, state.y.cov_sqrtm
+    dt = jnp.asarray(0.05, mean.dtype)
+
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    out_ref = white_module.white_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=True,
+    )
+    out_two = white_module.white_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=False, factorization=hook,
+    )
+    np.testing.assert_allclose(out_two[0], out_ref[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        out_two[1] @ out_two[1].T, out_ref[1] @ out_ref[1].T,
+        rtol=1e-9, atol=1e-11,
+    )
+
+
 def test_latent_solver_householder_step():
     """The latent solvers accept the factorization hook (noise-free
     pre-array) and match the default pipeline at oracle precision."""
