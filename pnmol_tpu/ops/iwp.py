@@ -62,12 +62,22 @@ def system_matrices_1d(num_derivatives: int, dtype_name: str):
 
     A_1d is the flipped lower Pascal matrix, Q_1d the flipped Hilbert matrix
     (reference: ``iwp.py:24-30``).
+
+    Computed with host numpy: the lru_cache is shared across traced and
+    eager callers, and a jnp op executed while a trace is active would
+    poison the cache with a tracer (UnexpectedTracerError on the next
+    eager call).
     """
+    import numpy as np
+
     n = num_derivatives + 1
-    dtype = jnp.dtype(dtype_name)
-    A = jnp.flip(jnp.asarray(pascal_lower(n), dtype=dtype))
-    Q = jnp.flip(jnp.asarray(hilbert(n), dtype=dtype))
-    return A, jnp.linalg.cholesky(Q)
+    dtype = np.dtype(dtype_name)
+    A = np.flip(np.asarray(pascal_lower(n), dtype=dtype))
+    Q = np.flip(np.asarray(hilbert(n), dtype=np.float64))
+    LQ = np.linalg.cholesky(Q).astype(dtype)
+    # plain numpy out: even jnp.asarray would produce (and cache) a tracer
+    # when called under an active trace
+    return A, LQ
 
 
 def nordsieck_scales_1d(num_derivatives: int, dt):

@@ -86,6 +86,37 @@ def constant_step_schedule(t0, tmax, dt):
     return ts, dts
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("step_fn", "steprule", "rate")
+)
+def adaptive_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax):
+    """One attempt + step-control decision: THE shared compiled unit of
+    every adaptive driver (the Python generator and both lax.while_loop
+    drivers call exactly this function), so all drivers follow
+    bitwise-identical trajectories. Controller math compiled differently
+    per driver (eager vs fused into a while body) reassociates reductions
+    by a ulp, and the whitened-residual diffusion amplifies that through
+    the near-singular innovation directions of noise-free boundary rows —
+    observed as 40% diffusion divergence between drivers.
+
+    Returns ``(t_new, mean_new, cov_new, dt_new, accepted, error, ref,
+    diff_sq, scaled_error)`` — state outputs already masked by acceptance,
+    error/ref/diff_sq raw from this attempt.
+    """
+    new_mean, new_cov, error, ref, diff_sq = step_fn(mean, cov, t + dt, dt)
+    scaled = steprule.scale_error_estimate(dt * error, ref)
+    accepted = steprule.is_accepted(scaled)
+    suggested = steprule.suggest(dt, scaled, local_convergence_rate=rate)
+    t_new = jnp.where(accepted, t + dt, t)
+    mean_new = jnp.where(accepted, new_mean, mean)
+    cov_new = jnp.where(accepted, new_cov, cov)
+    dt_new = jnp.minimum(suggested, tmax - t_new)
+    return t_new, mean_new, cov_new, dt_new, accepted, error, ref, diff_sq, scaled
+
+
 class PDEFilter(ABC):
     """Filtering-based PDE solver interface."""
 
@@ -218,7 +249,15 @@ class PDEFilter(ABC):
             pbar.close(float(state.t), dt=float(dt))
 
     def perform_full_step(self, state, initial_dt, pde):
-        """One accepted step, including the attempt/reject loop."""
+        """One accepted step, including the attempt/reject loop.
+
+        Adaptive rules drive the SAME jitted :func:`adaptive_attempt` unit
+        as the while_loop drivers, so the generator path follows a
+        bitwise-identical trajectory (the consistency the driver tests
+        pin). Constant rules keep the plain attempt path.
+        """
+        if isinstance(self.steprule, step_module.Adaptive):
+            return self._perform_full_step_adaptive(state, initial_dt, pde)
         dt = initial_dt
         step_info = dict(
             num_f_evaluations=0,
@@ -257,6 +296,41 @@ class PDEFilter(ABC):
             assert dt >= 0, f"Invalid step size: dt={dt}"
 
         return proposed_state, dt, step_info
+
+    def _perform_full_step_adaptive(self, state, initial_dt, pde):
+        step_fn = self._step_function(pde)
+        rate = self.num_derivatives + 1
+        dt = jnp.asarray(initial_dt)
+        tmax = jnp.asarray(pde.tmax, dt.dtype)
+        step_info = dict(
+            num_f_evaluations=0,
+            num_df_evaluations=0,
+            num_df_diagonal_evaluations=0,
+            num_attempted_steps=0,
+        )
+        t = state.t
+        mean, cov = state.y.mean, state.y.cov_sqrtm
+        accepted = False
+        while not accepted:
+            t_new, mean_new, cov_new, dt_new, acc, error, ref, diff_sq, _ = (
+                adaptive_attempt(
+                    step_fn, self.steprule, rate, t, mean, cov, dt, tmax
+                )
+            )
+            step_info["num_attempted_steps"] += 1
+            step_info["num_f_evaluations"] += 1
+            step_info["num_df_evaluations"] += 1
+            accepted = bool(acc)
+            t, mean, cov, dt = t_new, mean_new, cov_new, dt_new
+            assert float(dt) >= 0, f"Invalid step size: dt={float(dt)}"
+        new_state = PDEFilterState(
+            t=t,
+            y=rv.MultivariateNormal(mean=mean, cov_sqrtm=cov),
+            error_estimate=error,
+            reference_state=ref,
+            diffusion_squared_local=diff_sq,
+        )
+        return new_state, dt, step_info
 
     # -- jitted fast paths ----------------------------------------------------
     # Subclasses provide _scan_attempt(carry, t_next, dt) via make_step_fn().
@@ -363,15 +437,12 @@ class PDEFilter(ABC):
 
         def body(carry):
             t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry
-            new_mean, new_cov, error, ref, diff_sq = step_fn(mean, cov, t + dt, dt)
-            scaled = steprule.scale_error_estimate(dt * error, ref)
-            accepted = steprule.is_accepted(scaled)
-            suggested = steprule.suggest(dt, scaled, local_convergence_rate=rate)
-
-            t_new = jnp.where(accepted, t + dt, t)
-            mean_new = jnp.where(accepted, new_mean, mean)
-            cov_new = jnp.where(accepted, new_cov, cov)
-            dt_new = jnp.minimum(suggested, tmax - t_new)
+            t_new, mean_new, cov_new, dt_new, accepted, _, _, diff_sq, _ = (
+                adaptive_attempt(
+                    step_fn, steprule, rate, t, mean, cov, dt,
+                    jnp.asarray(tmax, dt.dtype),
+                )
+            )
             diff_new = diff_sum + jnp.where(accepted, diff_sq, 0.0)
             return (
                 t_new,
@@ -435,21 +506,18 @@ class PDEFilter(ABC):
 
         def body(carry):
             t, mean, cov, dt, bt, bm, bc, bd, idx, n_att = carry
-            new_mean, new_cov, error, ref, diff_sq = step_fn(mean, cov, t + dt, dt)
-            scaled = steprule.scale_error_estimate(dt * error, ref)
-            accepted = steprule.is_accepted(scaled)
-            suggested = steprule.suggest(dt, scaled, local_convergence_rate=rate)
-
-            t_new = jnp.where(accepted, t + dt, t)
-            mean_new = jnp.where(accepted, new_mean, mean)
-            cov_new = jnp.where(accepted, new_cov, cov)
+            t_new, mean_new, cov_new, dt_new, accepted, _, _, diff_sq, _ = (
+                adaptive_attempt(
+                    step_fn, steprule, rate, t, mean, cov, dt,
+                    jnp.asarray(tmax, dt.dtype),
+                )
+            )
             idx_new = idx + accepted.astype(jnp.int32)
             write = idx_new  # only moves when accepted
             bt = bt.at[write].set(jnp.where(accepted, t_new, bt[write]))
             bm = bm.at[write].set(jnp.where(accepted, mean_new, bm[write]))
             bc = bc.at[write].set(jnp.where(accepted, cov_new, bc[write]))
             bd = bd.at[write].set(jnp.where(accepted, diff_sq, bd[write]))
-            dt_new = jnp.minimum(suggested, tmax - t_new)
             return (t_new, mean_new, cov_new, dt_new, bt, bm, bc, bd, idx_new, n_att + 1)
 
         carry0 = (

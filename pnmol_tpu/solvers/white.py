@@ -242,7 +242,11 @@ def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
     d = gram.shape[0]
     dtype = gram.dtype
     s = jnp.asarray(diffuse_scale, dtype)
-    S0 = s**2 * gram + nugget**2 * jnp.eye(d, dtype=dtype)
+    # nugget on the diagonal via indexed add: a dense jnp.eye(d) literal
+    # gets constant-folded at compile time, which at d = 1e4 (0.4 GB
+    # literal) blows up the XLA compile-helper's host memory
+    diag = jnp.arange(d)
+    S0 = (s**2 * gram).at[diag, diag].add(nugget**2)
     S0_chol = jnp.linalg.cholesky(S0)
     W = s**2 * jax.scipy.linalg.cho_solve((S0_chol, True), gram).T  # s^2 G S^-1
     u0 = W @ y0
@@ -328,24 +332,87 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
 
-        # [Prior] spatial kernel Gram Cholesky becomes the IWP diffusion factor
-        X = pde.mesh_spatial.points
-        gram = self.spatial_kernel(X, X.T)
-        chol_gram = jnp.linalg.cholesky(gram)
+        f = getattr(pde, "f", None)
+        df = getattr(pde, "df", None)
+        # The conditioning nugget is dtype-aware: the reference's 1e-10
+        # (white.py:33) is below float32 resolution and NaNs the f32 path.
+        dtype = jnp.asarray(pde.y0).dtype
+        nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
+
+        linear = self.LINEAR
+        t0 = pde.t0
+        num_derivatives = self.num_derivatives
+        spatial_kernel = self.spatial_kernel
+        diffuse_scale = self.diffuse_prior_scale
+        init_update = self._init_update or sqrt.update_sqrt_from_products
+
+        # The whole setup runs as ONE jitted computation so XLA owns the
+        # lifetime of the large intermediates (Gram, kron assembly,
+        # block-diag gathers, the init pre-array). Run eagerly, each of
+        # those allocates its own device buffer and at N=1e4 the
+        # accumulated transients alone exhaust a 16 GB chip before the
+        # initial covariance factor is ever formed.
+        def _core(X, L, B, E_sqrtm, R_sqrtm, y0):
+            # [Prior] spatial kernel Gram Cholesky -> IWP diffusion factor
+            gram = spatial_kernel(X, X.T)
+            chol_gram = jnp.linalg.cholesky(gram)
+            trans = iwp.IntegratedWienerTransition(
+                num_derivatives=num_derivatives,
+                wiener_process_dimension=d,
+                wp_diffusion_sqrtm=chol_gram,
+            )
+            A1d = trans.preconditioned_discretize_1d[0]
+            Ql = trans.process_noise_factor
+            E_bc = jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm)
+            cache = WhiteSolverCache(A1d=A1d, Ql=Ql, L=L, B=B, E_bc_sqrtm=E_bc)
+
+            # [Init mean/cov] diffuse prior, then two sqrt updates: on y0
+            # (in closed form — see structured_init_y0), then on the
+            # linearized PDE measurement at t0 (product-form; H is never
+            # materialized).
+            u0, y0_blocks = structured_init_y0(
+                gram, chol_gram, y0, diffuse_scale, nugget_scale, n
+            )
+            C0_y0 = point_major_blockdiag(y0_blocks)
+
+            # After the y0 update the mean is zero except on derivative 0,
+            # so the PDE residual z = H m + [shift; 0] collapses to closed
+            # form too (z_ode = -L u0 - f(u0); z_bc = B u0).
+            if linear:
+                G_lin = L
+                z_ode = -L @ u0
+            else:
+                fx = f(t0, u0)
+                Jx = df(t0, u0)
+                G_lin = Jx + L
+                z_ode = -L @ u0 - fx
+            z_pde = jnp.concatenate((z_ode, B @ u0))
+
+            ones = jnp.ones((n,), dtype=y0.dtype)
+            apply_H = _measurement_operator(cache, G_lin, ones, n)
+            HC = apply_H(C0_y0)
+            # nugget via indexed diagonal add (no (d+b)^2 eye literal)
+            mdiag = jnp.arange(d + B.shape[0])
+            E_bc_nugget = E_bc.at[mdiag, mdiag].add(nugget_scale)
+            C0, kgain, _ = init_update(HC, C0_y0, E_bc_nugget)
+            m0_flat = iwp.mean_to_flat(
+                jnp.zeros((n, d), dtype=y0.dtype).at[0].set(u0)
+            )
+            m0 = m0_flat - kgain @ z_pde
+            return chol_gram, A1d, Ql, E_bc, m0, C0
+
+        chol_gram, A1d, Ql, E_bc, m0, C0 = jax.jit(_core)(
+            pde.mesh_spatial.points, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm,
+            jnp.asarray(pde.y0),
+        )
+
         self.iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
             wiener_process_dimension=d,
             wp_diffusion_sqrtm=chol_gram,
         )
-
-        f = getattr(pde, "f", None)
-        df = getattr(pde, "df", None)
         self._cache = WhiteSolverCache(
-            A1d=self.iwp.preconditioned_discretize_1d[0],
-            Ql=self.iwp.process_noise_factor,
-            L=pde.L,
-            B=pde.B,
-            E_bc_sqrtm=jax.scipy.linalg.block_diag(pde.E_sqrtm, pde.R_sqrtm),
+            A1d=A1d, Ql=Ql, L=pde.L, B=pde.B, E_bc_sqrtm=E_bc
         )
         self._step_fn = make_white_step_fn(
             cache=self._cache,
@@ -356,42 +423,6 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             meascov_dt_scaled=self.meascov_dt_scaled,
             factorization=self.factorization,
         )
-
-        # [Init mean/cov] diffuse prior, then two sqrt updates: on y0 (in
-        # closed form — see structured_init_y0), then on the linearized PDE
-        # measurement at t0 (product-form QR; H is never materialized).
-        # The conditioning nugget is dtype-aware: the reference's 1e-10
-        # (white.py:33) is below float32 resolution and NaNs the f32 path.
-        dtype = jnp.asarray(pde.y0).dtype
-        nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
-        u0, y0_blocks = structured_init_y0(
-            gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
-        )
-        C0_y0 = point_major_blockdiag(y0_blocks)
-
-        # After the y0 update the mean is zero except on derivative 0, so the
-        # PDE residual z = H m + [shift; 0] collapses to closed form too
-        # (z_ode = -L u0 - f(u0); z_bc = B u0 — cf. _evaluate_ode_dense).
-        if self.LINEAR:
-            G_lin = pde.L
-            z_ode = -pde.L @ u0
-        else:
-            fx = f(pde.t0, u0)
-            Jx = df(pde.t0, u0)
-            G_lin = Jx + pde.L
-            z_ode = -pde.L @ u0 - fx
-        z_pde = jnp.concatenate((z_ode, pde.B @ u0))
-
-        ones = jnp.ones((n,), dtype=dtype)
-        apply_H = _measurement_operator(self._cache, G_lin, ones, n)
-        HC = apply_H(C0_y0)
-        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0], dtype=dtype)
-        init_update = self._init_update or sqrt.update_sqrt_from_products
-        C0, kgain, _ = init_update(
-            HC, C0_y0, self._cache.E_bc_sqrtm + nugget_pde
-        )
-        m0_flat = iwp.mean_to_flat(jnp.zeros((n, d), dtype=dtype).at[0].set(u0))
-        m0 = m0_flat - kgain @ z_pde
 
         y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
         return pdefilter.PDEFilterState(
