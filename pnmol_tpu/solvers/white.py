@@ -309,16 +309,12 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         super().__init__(*args, **kwargs)
         self.meascov_dt_scaled = meascov_dt_scaled
         self._init_update = None
-        if factorization == "householder":
-            from pnmol_tpu.ops import qr_householder
-
-            factorization = qr_householder.make_householder_lq_factorization()
-            # the initialization's (D+m) x (m+D) QR is the single-chip
-            # memory peak at large N; route it through the blocked LQ too
-            self._init_update = (
-                qr_householder.make_householder_update_from_products()
-            )
-        self.factorization = factorization
+        self._factorization_spec = factorization
+        # the "householder" string resolves lazily in initialize(): the
+        # block size scales with the problem (bigger blocks halve the
+        # unrolled sweep's op count — the XLA compile helper's host memory
+        # is the binding constraint at N ~ 1e4)
+        self.factorization = None if factorization == "householder" else factorization
 
     @property
     def E0(self):
@@ -331,6 +327,23 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
 
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
+
+        if self._factorization_spec == "householder" and (
+            self.factorization is None
+        ):
+            from pnmol_tpu.ops import qr_householder
+
+            block = 256 if d >= 4096 else 128
+            self.factorization = (
+                qr_householder.make_householder_lq_factorization(block=block)
+            )
+            # the initialization's (D+m) x (m+D) QR is the single-chip
+            # memory peak at large N; route it through the blocked LQ too
+            self._init_update = (
+                qr_householder.make_householder_update_from_products(
+                    block=block
+                )
+            )
 
         f = getattr(pde, "f", None)
         df = getattr(pde, "df", None)
@@ -346,33 +359,46 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         diffuse_scale = self.diffuse_prior_scale
         init_update = self._init_update or sqrt.update_sqrt_from_products
 
-        # The whole setup runs as ONE jitted computation so XLA owns the
-        # lifetime of the large intermediates (Gram, kron assembly,
-        # block-diag gathers, the init pre-array). Run eagerly, each of
-        # those allocates its own device buffer and at N=1e4 the
-        # accumulated transients alone exhaust a 16 GB chip before the
-        # initial covariance factor is ever formed.
-        def _core(X, L, B, E_sqrtm, R_sqrtm, y0):
-            # [Prior] spatial kernel Gram Cholesky -> IWP diffusion factor
+        # The setup runs as THREE jitted phases so XLA owns the lifetime
+        # of the large intermediates within each, and no phase's peak
+        # exceeds the chip. Run eagerly, every transient (Gram, kron
+        # assembly, block-diag gathers, init pre-array) holds its own
+        # device buffer and at N=1e4 the accumulation alone exhausts a
+        # 16 GB chip. One mega-jit is not enough either: XLA's blocked
+        # triangular-solve expansion (the closed-form y0 gain) keeps ~18
+        # shrinking (d, d) temporaries live at once (~6 GB at N=1e4), so
+        # the solve gets a phase of its own, away from the factorization
+        # sweep's working set. Cache-only constants (Ql, E_bc) come last so
+        # they are never co-resident with the init pre-array.
+        def _phase_prior(X, y0):
             gram = spatial_kernel(X, X.T)
             chol_gram = jnp.linalg.cholesky(gram)
+            u0, y0_blocks = structured_init_y0(
+                gram, chol_gram, y0, diffuse_scale, nugget_scale, n
+            )
+            return chol_gram, u0, y0_blocks[0]
+
+        chol_gram, u0, C00 = jax.jit(_phase_prior)(
+            pde.mesh_spatial.points, jnp.asarray(pde.y0)
+        )
+
+        def _phase_update(chol_gram, u0, C00, L, B, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
                 num_derivatives=num_derivatives,
                 wiener_process_dimension=d,
                 wp_diffusion_sqrtm=chol_gram,
             )
             A1d = trans.preconditioned_discretize_1d[0]
-            Ql = trans.process_noise_factor
             E_bc = jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm)
-            cache = WhiteSolverCache(A1d=A1d, Ql=Ql, L=L, B=B, E_bc_sqrtm=E_bc)
-
-            # [Init mean/cov] diffuse prior, then two sqrt updates: on y0
-            # (in closed form — see structured_init_y0), then on the
-            # linearized PDE measurement at t0 (product-form; H is never
-            # materialized).
-            u0, y0_blocks = structured_init_y0(
-                gram, chol_gram, y0, diffuse_scale, nugget_scale, n
+            # Ql placeholder: only a cache constant (built in the last
+            # phase); keeping the real 1.6 GB factor alive through the
+            # init sweep is the difference between fitting and OOMing.
+            cache = WhiteSolverCache(
+                A1d=A1d, Ql=jnp.zeros((0, 0), u0.dtype), L=L, B=B,
+                E_bc_sqrtm=E_bc,
             )
+            scale = jnp.asarray(diffuse_scale, chol_gram.dtype)
+            y0_blocks = [C00] + [scale * chol_gram] * (n - 1)
             C0_y0 = point_major_blockdiag(y0_blocks)
 
             # After the y0 update the mean is zero except on derivative 0,
@@ -388,23 +414,36 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 z_ode = -L @ u0 - fx
             z_pde = jnp.concatenate((z_ode, B @ u0))
 
-            ones = jnp.ones((n,), dtype=y0.dtype)
+            ones = jnp.ones((n,), dtype=u0.dtype)
             apply_H = _measurement_operator(cache, G_lin, ones, n)
             HC = apply_H(C0_y0)
-            # nugget via indexed diagonal add (no (d+b)^2 eye literal)
+            # nugget via indexed diagonal add (no (d+b)^2 eye literal:
+            # constant-folding one OOM-kills the XLA compile helper)
             mdiag = jnp.arange(d + B.shape[0])
             E_bc_nugget = E_bc.at[mdiag, mdiag].add(nugget_scale)
             C0, kgain, _ = init_update(HC, C0_y0, E_bc_nugget)
             m0_flat = iwp.mean_to_flat(
-                jnp.zeros((n, d), dtype=y0.dtype).at[0].set(u0)
+                jnp.zeros((n, d), dtype=u0.dtype).at[0].set(u0)
             )
             m0 = m0_flat - kgain @ z_pde
-            return chol_gram, A1d, Ql, E_bc, m0, C0
+            return A1d, m0, C0
 
-        chol_gram, A1d, Ql, E_bc, m0, C0 = jax.jit(_core)(
-            pde.mesh_spatial.points, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm,
-            jnp.asarray(pde.y0),
+        A1d, m0, C0 = jax.jit(_phase_update)(
+            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
         )
+
+        def _phase_aux(chol_gram, E_sqrtm, R_sqrtm):
+            trans = iwp.IntegratedWienerTransition(
+                num_derivatives=num_derivatives,
+                wiener_process_dimension=d,
+                wp_diffusion_sqrtm=chol_gram,
+            )
+            return (
+                trans.process_noise_factor,
+                jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm),
+            )
+
+        Ql, E_bc = jax.jit(_phase_aux)(chol_gram, pde.E_sqrtm, pde.R_sqrtm)
 
         self.iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
