@@ -333,15 +333,19 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         ):
             from pnmol_tpu.ops import qr_householder
 
+            # graph size scales with the LEAF count (pre-array dim / leaf):
+            # the XLA compile helper's host memory is the binding constraint
+            # at N ~ 1e4, so very large problems use wider leaves/blocks
+            leaf = 64 if d >= 8192 else 32
             block = 256 if d >= 4096 else 128
-            self.factorization = (
-                qr_householder.make_householder_lq_factorization(block=block)
+            self.factorization = qr_householder.make_householder_lq_factorization(
+                leaf=leaf, block=block
             )
             # the initialization's (D+m) x (m+D) QR is the single-chip
             # memory peak at large N; route it through the blocked LQ too
             self._init_update = (
                 qr_householder.make_householder_update_from_products(
-                    block=block
+                    leaf=leaf, block=block
                 )
             )
 
@@ -358,6 +362,22 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         spatial_kernel = self.spatial_kernel
         diffuse_scale = self.diffuse_prior_scale
         init_update = self._init_update or sqrt.update_sqrt_from_products
+
+        # Small problems run the setup eagerly: each jitted phase costs a
+        # compile roundtrip (expensive on the remote-TPU relay; ~400 s of
+        # one-time build at N=512), and the memory pressure the phases
+        # exist to control only appears at large N.
+        if d >= 4096:
+            wrap = jax.jit
+
+            def wrap_donate(fn):
+                donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+                return jax.jit(fn, donate_argnums=donate)
+        else:
+            def wrap(fn):
+                return fn
+
+            wrap_donate = wrap
 
         # The setup runs as THREE jitted phases so XLA owns the lifetime
         # of the large intermediates within each, and no phase's peak
@@ -378,11 +398,11 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             )
             return chol_gram, u0, y0_blocks[0]
 
-        chol_gram, u0, C00 = jax.jit(_phase_prior)(
+        chol_gram, u0, C00 = wrap(_phase_prior)(
             pde.mesh_spatial.points, jnp.asarray(pde.y0)
         )
 
-        def _phase_update(chol_gram, u0, C00, L, B, E_sqrtm, R_sqrtm):
+        def _phase_measure(chol_gram, u0, C00, L, B, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
                 num_derivatives=num_derivatives,
                 wiener_process_dimension=d,
@@ -421,16 +441,29 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             # constant-folding one OOM-kills the XLA compile helper)
             mdiag = jnp.arange(d + B.shape[0])
             E_bc_nugget = E_bc.at[mdiag, mdiag].add(nugget_scale)
+            return A1d, C0_y0, HC, E_bc_nugget, z_pde
+
+        A1d, C0_y0, HC, E_bc_nugget, z_pde = wrap(_phase_measure)(
+            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
+        )
+        del C00
+
+        # The init pre-array QR gets a phase of its own with DONATED
+        # operands: HC / C0_y0 / E_bc_nugget free into the factorization
+        # workspace instead of staying resident beside it — the final
+        # ~2.9 GB that decides whether N=1e4 fits one chip.
+        def _phase_qr(HC, C0_y0, E_bc_nugget, z_pde, u0):
             C0, kgain, _ = init_update(HC, C0_y0, E_bc_nugget)
             m0_flat = iwp.mean_to_flat(
                 jnp.zeros((n, d), dtype=u0.dtype).at[0].set(u0)
             )
             m0 = m0_flat - kgain @ z_pde
-            return A1d, m0, C0
+            return m0, C0
 
-        A1d, m0, C0 = jax.jit(_phase_update)(
-            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
+        m0, C0 = wrap_donate(_phase_qr)(
+            HC, C0_y0, E_bc_nugget, z_pde, u0
         )
+        del C0_y0, HC, E_bc_nugget
 
         def _phase_aux(chol_gram, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
@@ -443,7 +476,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm),
             )
 
-        Ql, E_bc = jax.jit(_phase_aux)(chol_gram, pde.E_sqrtm, pde.R_sqrtm)
+        Ql, E_bc = wrap(_phase_aux)(chol_gram, pde.E_sqrtm, pde.R_sqrtm)
 
         self.iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
