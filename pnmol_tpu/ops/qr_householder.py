@@ -86,9 +86,11 @@ def _leaf_kernel(a_in, vr_out, t_out, *, leaf: int):
     ``Q = H_0 H_1 ... = I - V T V^T`` and the per-column ``tau`` on the
     diagonal.
 
-    The column loop is a *static* Python unroll: column index, slice bounds
-    and row masks are compile-time constants, so each step reads/writes only
-    the remaining (rows, leaf-k) sub-slab — no masked full-width waste.
+    The column loop is a *static* Python unroll with full-width masked
+    VPU ops (Mosaic-friendly: no sub-tile slicing, no dim-1 matmuls). This
+    narrow orientation keeps only ``leaf`` of 128 lanes busy — the wide LQ
+    form below is the fast path; this one is kept as the row-oriented
+    reference implementation.
     """
     rows = a_in.shape[0]
     dtype = a_in.dtype
