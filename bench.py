@@ -75,6 +75,15 @@ def _child(mode: str) -> None:
     from pnmol_tpu.odetools import step as step_module
     from pnmol_tpu.solvers import white as white_module
 
+    # The FIRST computation a process executes on the axon relay pays a
+    # variable warm-up/queueing cost (measured 300-1040 s on the same day
+    # for a 512-float jnp.sum — docs/SCALE.md round 3). Flush it here and
+    # report it separately so build/compile numbers measure the framework,
+    # not the tunnel.
+    t_warm0 = time.perf_counter()
+    _ = float(jnp.sum(jnp.ones((8,), dtype) * 2.0))
+    warmup_s = time.perf_counter() - t_warm0
+
     t_build0 = time.perf_counter()
     dx = 1.0 / (N_POINTS - 1)
     heat = pnmol_tpu.pde.examples.heat_1d_discretized(
@@ -149,23 +158,26 @@ def _child(mode: str) -> None:
                 "device_kind": jax.devices()[0].device_kind,
                 "build_seconds": round(build_s, 2),
                 "compile_seconds": round(compile_s, 2),
+                "relay_warmup_seconds": round(warmup_s, 2),
             }
         )
     )
 
 
-def _spawn(mode: str) -> dict:
+def _spawn(mode: str, n_override: int = None) -> dict:
     env = dict(os.environ)
     if mode == "device":
         env["PNMOL_TPU_X32"] = "1"
     else:
         env.pop("PNMOL_TPU_X32", None)
+    if n_override is not None:
+        env["PNMOL_BENCH_N"] = str(n_override)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), f"--child-{mode}"],
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=7200,
     )
     sys.stderr.write(proc.stderr[-2000:] if proc.returncode else "")
     if proc.returncode != 0:
@@ -179,15 +191,25 @@ def _spawn(mode: str) -> dict:
     raise RuntimeError(f"bench child ({mode}) printed no result:\n{proc.stdout}")
 
 
+# Largest N the f64 CPU oracle can step in reasonable time; beyond it the
+# baseline is measured at CPU_PROJECT_N and projected by the QR-dominated
+# O(N^3) step cost (one real CPU step at N=1e4 takes hours — docs/SCALE.md).
+CPU_MAX_N = int(os.environ.get("PNMOL_BENCH_CPU_MAX", "2048"))
+CPU_PROJECT_N = 1024
+
+
 def main():
     device = _spawn("device")
-    cpu = _spawn("cpu")
+    cpu_projected = N_POINTS > CPU_MAX_N
+    cpu = _spawn("cpu", n_override=CPU_PROJECT_N if cpu_projected else None)
 
     # analytic FLOP model of the sqrt-Kalman step (QR-dominated)
     from pnmol_tpu.utils import profiling
 
     device_sps = device["steps_per_sec"]
     cpu_sps = cpu["steps_per_sec"]
+    if cpu_projected:
+        cpu_sps = cpu_sps * (CPU_PROJECT_N / N_POINTS) ** 3
     gflops = profiling.steps_per_sec_to_gflops(device_sps, d=N_POINTS, nu=NU, b=2)
     peak = PEAK_FLOPS_BY_PLATFORM.get(device["device_kind"])
     mfu = (gflops * 1e9 / peak) if peak else None
@@ -200,7 +222,10 @@ def main():
                 "vs_baseline": round(device_sps / cpu_sps, 3),
                 "detail": {
                     "device": device["device"],
-                    "cpu_f64_steps_per_sec": round(cpu_sps, 3),
+                    "cpu_f64_steps_per_sec": round(cpu_sps, 6),
+                    "cpu_baseline_projected_from_n": (
+                        CPU_PROJECT_N if cpu_projected else None
+                    ),
                     "grid_points": N_POINTS,
                     "state_dim": N_POINTS * (NU + 1),
                     "num_steps": NUM_STEPS,
@@ -208,6 +233,9 @@ def main():
                     "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
                     "compile_seconds_device": device["compile_seconds"],
                     "build_seconds_device": device["build_seconds"],
+                    "relay_warmup_seconds_device": device.get(
+                        "relay_warmup_seconds"
+                    ),
                     "fused_qr": FUSED,
                     "factorization": FACTORIZATION,
                     "matmul_precision": MATMUL_PRECISION,

