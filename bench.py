@@ -93,10 +93,16 @@ def _child(mode: str) -> None:
         # at every N (see pnmol_tpu.discretize.dx_adapted_input_scale)
         kernel=kernels.SquareExponential(input_scale=0.1 / dx),
     )
+    solver_kwargs = {}
+    if mode == "device" and FACTORIZATION == "householder":
+        # resolves problem-scaled Pallas Householder hooks for BOTH the
+        # init QR (the single-chip memory peak at large N) and the step
+        solver_kwargs["factorization"] = "householder"
     solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=NU,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
+        **solver_kwargs,
     )
     state = solver.initialize(heat)
     jax.block_until_ready(state.y.cov_sqrtm)
@@ -107,11 +113,7 @@ def _child(mode: str) -> None:
     cov = state.y.cov_sqrtm
     dt = jnp.asarray(1e-3, dtype)
 
-    factorization = None
-    if mode == "device" and FACTORIZATION == "householder":
-        from pnmol_tpu.ops import qr_householder
-
-        factorization = qr_householder.make_householder_lq_factorization()
+    factorization = solver.factorization  # resolved hook (or None)
 
     @jax.jit
     def run(cache, mean, cov):

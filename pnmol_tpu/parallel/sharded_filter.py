@@ -97,6 +97,112 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
     return functools.partial(step, cache)
 
 
+def make_space_sharded_latent_step(*, cache, num_derivatives, mesh, f=None,
+                                   df=None, linear=True, distributed_qr=True,
+                                   panel_size=None):
+    """Latent-force EK1 step sharded over the mesh's 'space' axis.
+
+    The latent pre-array is the white one at twice the point count with a
+    zero measurement-noise block (reference semantics
+    ``/root/reference/src/pnmol/latent.py:155-225``), so it is the shape
+    family that needs sharding FIRST; the distributed blocked panel QR's
+    rank-deficiency jitter handles the exactly-singular noise-free block.
+    Same contract as :func:`make_space_sharded_white_step`; the state is
+    the stacked ``(n, 2d)`` mean and ``(2D, 2D)`` covariance factor.
+    """
+    from pnmol_tpu.solvers import latent as latent_module
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+    if distributed_qr:
+        factorization = functools.partial(
+            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        )
+        cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    else:
+        factorization = None
+        cov_sharding = NamedSharding(mesh, PartitionSpec("space", None))
+
+    @jax.jit
+    def step(cache_arg, mean, cov, t_next, dt):
+        mean = jax.lax.with_sharding_constraint(mean, replicated)
+        cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
+        out = latent_module.latent_attempt_step(
+            cache_arg, mean, cov, t_next, dt,
+            num_derivatives=num_derivatives, f=f, df=df, linear=linear,
+            fused=True, factorization=factorization,
+        )
+        new_mean, new_cov, err, ref, diff = out
+        new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding)
+        new_mean = jax.lax.with_sharding_constraint(new_mean, replicated)
+        return new_mean, new_cov, err, ref, diff
+
+    return functools.partial(step, cache)
+
+
+def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
+                                      dt, num_steps, f=None, df=None,
+                                      linear=True, latent=False,
+                                      distributed_qr=True, panel_size=None):
+    """End-to-end space-sharded constant-step solve (multi-step scan).
+
+    The full ``simulate_final_state`` semantics of the constant-scan driver
+    (``pnmol_tpu.solvers.pdefilter._final_state_constant_scan``) under the
+    sharded step: ``num_steps`` accepted steps via ``lax.scan``, the global
+    diffusion calibrated as the mean of per-step quasi-MLE locals, and the
+    final covariance factor rescaled by ``sqrt(diffusion^2)`` — shard-exact
+    vs the single-device driver (tests/test_parallel.py). Returns a jitted
+    ``solve(mean0, cov0, t0) -> (mean, cov, diffusion_sq)``.
+    """
+    from pnmol_tpu.solvers import latent as latent_module
+    from pnmol_tpu.solvers import white as white_module_
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+    if distributed_qr:
+        factorization = functools.partial(
+            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        )
+        cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    else:
+        factorization = None
+        cov_sharding = NamedSharding(mesh, PartitionSpec("space", None))
+
+    attempt = (
+        latent_module.latent_attempt_step
+        if latent
+        else white_module_.white_attempt_step
+    )
+
+    @jax.jit
+    def solve(cache_arg, mean0, cov0, t0):
+        mean0 = jax.lax.with_sharding_constraint(mean0, replicated)
+        cov0 = jax.lax.with_sharding_constraint(cov0, cov_sharding)
+        dt_arr = jnp.asarray(dt, mean0.dtype)
+
+        def body(carry, i):
+            mean, cov, diff_sum = carry
+            t_next = t0 + (i + 1) * dt_arr
+            mean, cov, _, _, diff_sq = attempt(
+                cache_arg, mean, cov, t_next, dt_arr,
+                num_derivatives=num_derivatives, f=f, df=df, linear=linear,
+                fused=True, factorization=factorization,
+            )
+            cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
+            mean = jax.lax.with_sharding_constraint(mean, replicated)
+            return (mean, cov, diff_sum + diff_sq), None
+
+        (mean, cov, diff_sum), _ = jax.lax.scan(
+            body,
+            (mean0, cov0, jnp.zeros((), mean0.dtype)),
+            jnp.arange(num_steps),
+        )
+        diffusion_sq = diff_sum / num_steps
+        cov = cov * jnp.sqrt(diffusion_sq)
+        cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
+        return mean, cov, diffusion_sq
+
+    return functools.partial(solve, cache)
+
+
 def shard_cache(cache, mesh, distributed_qr=False):
     """Place the step cache on the mesh: Ql sharded to match the step's
     covariance layout, small operands replicated."""
