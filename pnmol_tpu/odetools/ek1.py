@@ -45,7 +45,7 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("f", "df", "num_derivatives"))
-def ek1_attempt_step(A1d, LQ1d, mean, cov_sqrtm, t_next, dt, *, f, df,
+def ek1_attempt_step(A1d, Ql, mean, cov_sqrtm, t_next, dt, *, f, df,
                      num_derivatives):
     """One EK1 attempt step (module-level jit: shared compilations)."""
     n = num_derivatives + 1
@@ -68,10 +68,13 @@ def ek1_attempt_step(A1d, LQ1d, mean, cov_sqrtm, t_next, dt, *, f, df,
 
     z = p[1] * Mp[1] - fx
 
-    # predict covariance (Ql = kron(I_d, LQ1d): unit spatial diffusion)
+    # predict covariance; Ql = kron(I_d, LQ1d) (unit spatial diffusion) is
+    # a step-loop CONSTANT, assembled once in make_ek1_step_fn — the round-2
+    # version materialized the dense (D, D) kron inside the hot loop (and a
+    # kron of constants in a jitted scan invites compile-time constant
+    # folding of a (D, D) literal, the known compile-helper OOM pattern)
     Cl = iwp.scale_stack(p_inv, cov_sqrtm)
     ACl = iwp.apply_stack_matrix(A1d, Cl)
-    Ql = jnp.kron(jnp.eye(d, dtype=Cl.dtype), LQ1d)
     Clp = sqrt.propagate_cholesky_factor(ACl, Ql)
 
     # noise-free update
@@ -90,11 +93,20 @@ def ek1_attempt_step(A1d, LQ1d, mean, cov_sqrtm, t_next, dt, *, f, df,
     return M_new, C_new, error, jnp.abs(M_new[0]), sigma_sq_local
 
 
-def make_ek1_step_fn(*, f, df, num_derivatives: int, dtype):
-    """Bind system matrices + statics to the shared EK1 step kernel."""
+def make_ek1_step_fn(*, f, df, num_derivatives: int, dtype, d: int):
+    """Bind system matrices + statics to the shared EK1 step kernel.
+
+    The process-noise factor ``kron(I_d, LQ1d)`` is assembled HERE (once,
+    TPU-friendly point-major assembly) and enters the jitted step as a
+    traced argument — never rebuilt in the hot loop.
+    """
     A1d, LQ1d = iwp.system_matrices_1d(num_derivatives, jnp.dtype(dtype).name)
+    Ql = iwp.kron_point_major(
+        jnp.eye(d, dtype=dtype), jnp.asarray(LQ1d, dtype=dtype)
+    )
     return functools.partial(
-        ek1_attempt_step, A1d, LQ1d, f=f, df=df, num_derivatives=num_derivatives
+        ek1_attempt_step, jnp.asarray(A1d, dtype=dtype), Ql,
+        f=f, df=df, num_derivatives=num_derivatives
     )
 
 
@@ -124,9 +136,11 @@ class ReferenceEK1ConstantDiffusion:
             wp_diffusion_sqrtm=jnp.eye(1, dtype=jnp.asarray(ivp.y0).dtype),
         )
         # per-dimension Nordsieck covariance sc0 (n, n) -> kron over points
-        C0 = jnp.kron(jnp.eye(d, dtype=m0.dtype), sc0)
+        # (kron_point_major: no padded 4-D intermediate on TPU)
+        C0 = iwp.kron_point_major(jnp.eye(d, dtype=m0.dtype), sc0)
         self._step_fn = make_ek1_step_fn(
-            f=ivp.f, df=ivp.df, num_derivatives=self.num_derivatives, dtype=m0.dtype
+            f=ivp.f, df=ivp.df, num_derivatives=self.num_derivatives,
+            dtype=m0.dtype, d=d,
         )
         return ODEFilterState(
             t=jnp.asarray(ivp.t0, dtype=m0.dtype),

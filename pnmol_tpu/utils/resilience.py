@@ -44,21 +44,37 @@ def solve_resilient(
 
     Steps through the jitted attempt-step kernel; every ``checkpoint_every``
     accepted steps the state is persisted. A non-finite state triggers a
-    reload of the last checkpoint and a constant-step restart with
-    ``dt * dt_backoff``. Returns ``(final_state, ResilienceReport)``.
+    reload of the last checkpoint and a restart with ``dt * dt_backoff``.
+    Returns ``(final_state, ResilienceReport)``.
 
-    Only constant step rules are supported (the adaptive rule has its own
-    rejection loop; combining both retry layers is deliberate future work).
+    Adaptive rules are supported (round-3 addition; the round-2 version
+    raised NotImplementedError here): attempts run through the SAME jitted
+    :func:`pnmol_tpu.solvers.pdefilter.adaptive_attempt` unit the drivers
+    share (no duplicated controller math), with NaN detection at attempt
+    granularity — a non-finite attempt can never loop the accept/reject
+    controller forever, because it restarts from the checkpoint instead.
     """
-    if not isinstance(solver.steprule, step_module.Constant):
-        raise NotImplementedError("solve_resilient currently requires Constant steps.")
+    from pnmol_tpu.solvers import pdefilter as pdefilter_module
+
+    adaptive = isinstance(solver.steprule, step_module.Adaptive)
+    if not adaptive and not isinstance(solver.steprule, step_module.Constant):
+        raise NotImplementedError(
+            "solve_resilient requires a Constant or Adaptive step rule."
+        )
+    if adaptive and not solver.supports_adaptive_steps:
+        raise ValueError(f"{type(solver).__name__} has no error estimate.")
 
     checkpoint_dir = pathlib.Path(checkpoint_dir)
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
     report = ResilienceReport()
 
     state = solver.initialize(pde)
-    dt = float(solver.steprule.dt)
+    if adaptive:
+        dt = float(solver.steprule.first_dt(pde))
+        step_fn = solver._step_function(pde)
+        rate = solver.num_derivatives + 1
+    else:
+        dt = float(solver.steprule.dt)
     ckpt_path = checkpoint_dir / "latest"
     checkpoint_module.save_state(ckpt_path, state, extra={"dt": jnp.asarray(dt)})
     report.num_checkpoints += 1
@@ -69,25 +85,65 @@ def solve_resilient(
 
     tmax = float(pde.tmax)
     t_eps = 1e-12 * max(1.0, abs(tmax))
+
+    def _restart():
+        nonlocal state, dt, restarts, steps_since_ckpt
+        report.num_failures += 1
+        if restarts >= max_restarts:
+            raise FloatingPointError(
+                f"Solve diverged at t={float(state.t):.6g} after "
+                f"{max_restarts} restarts."
+            )
+        restarts += 1
+        report.num_restarts += 1
+        state, extra = checkpoint_module.load_state(ckpt_path)
+        dt = float(extra.get("dt", jnp.asarray(dt))) * dt_backoff
+        steps_since_ckpt = 0
+
     while tmax - float(state.t) > t_eps:
         this_dt = min(dt, tmax - float(state.t))
-        proposed, _ = solver.attempt_step(state, this_dt, pde)
 
-        if not _state_is_finite(proposed):
-            report.num_failures += 1
-            if restarts >= max_restarts:
-                raise FloatingPointError(
-                    f"Solve diverged at t={float(state.t):.6g} after "
-                    f"{max_restarts} restarts."
+        if adaptive:
+            # one ACCEPTED step via the shared adaptive_attempt unit, with
+            # NaN policing per attempt
+            t_c = state.t
+            mean_c, cov_c = state.y.mean, state.y.cov_sqrtm
+            dt_c = jnp.asarray(this_dt, mean_c.dtype)
+            failed = False
+            while True:
+                (t_c, mean_c, cov_c, dt_c, acc, error, ref, diff_sq, _) = (
+                    pdefilter_module.adaptive_attempt(
+                        step_fn, solver.steprule, rate, t_c, mean_c, cov_c,
+                        dt_c, jnp.asarray(tmax, mean_c.dtype),
+                    )
                 )
-            restarts += 1
-            report.num_restarts += 1
-            state, extra = checkpoint_module.load_state(ckpt_path)
-            dt = float(extra.get("dt", jnp.asarray(dt))) * dt_backoff
-            steps_since_ckpt = 0
-            continue
+                if not bool(
+                    jnp.all(jnp.isfinite(mean_c)) and jnp.all(jnp.isfinite(cov_c))
+                ):
+                    failed = True
+                    break
+                if bool(acc):
+                    break
+            if failed:
+                _restart()
+                continue
+            proposed = state._replace(
+                t=t_c,
+                y=state.y._replace(mean=mean_c, cov_sqrtm=cov_c),
+                error_estimate=error,
+                reference_state=ref,
+                diffusion_squared_local=diff_sq,
+            )
+            next_dt = float(dt_c)
+        else:
+            proposed, _ = solver.attempt_step(state, this_dt, pde)
+            next_dt = dt
+            if not _state_is_finite(proposed):
+                _restart()
+                continue
 
         state = proposed
+        dt = next_dt
         report.num_steps += 1
         diffusion_sum += float(proposed.diffusion_squared_local)
         diffusion_count += 1

