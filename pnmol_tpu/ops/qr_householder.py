@@ -211,6 +211,12 @@ def _blocked_qr_r_impl(
     call; ``block`` columns share one trailing update. Slab row counts are
     quantized to ``row_quant`` so only O(M / row_quant) distinct kernel
     shapes compile.
+
+    Note on magnitudes: reflector norms are computed as ``sqrt(alpha^2 +
+    sigma)`` without LAPACK-style rescaling — columns with entries beyond
+    ~sqrt(dtype_max) overflow and columns below ~sqrt(dtype_tiny) collapse
+    to an identity reflector. The sqrt-Kalman factors this module serves
+    are O(1)-scaled; rescale inputs before calling on general data.
     """
     M, N = A.shape
     if M < N:
@@ -526,9 +532,14 @@ def _blocked_lq_l_impl(
     sb_blocks = max(1, -(-nb // max(1, superblocks)))
 
     work = W
-    # progressive per-superblock assembly — see the liveness note in
-    # blocked_qr_r
-    L = jnp.zeros((n_pad, n_pad), dtype)
+    # L strips are harvested per superblock and ASSEMBLED ONLY AT THE END:
+    # carrying the (n_pad, n_pad) L buffer through the sweep put it
+    # alongside the full work matrix and the trailing-update temp — the
+    # ~3.6 GB that OOMed the N=1e4 initialization on a 16 GB chip. The
+    # barrier per superblock still materializes each strip into its own
+    # buffer (a lazy slice would keep the whole superblock's work alive —
+    # the 90 GB liveness trap documented in blocked_qr_r).
+    strips = []
     done = 0
     while done < n_pad:
         rows_w = n_pad - done
@@ -609,21 +620,28 @@ def _blocked_lq_l_impl(
             )
 
         # --- harvest the superblock's L strips, then shrink ---------------
-        L = jax.lax.dynamic_update_slice(
-            L, jax.lax.slice(work, (0, 0), (S, rows_w)), (done, done)
-        )
+        top = jax.lax.slice(work, (0, 0), (S, rows_w))
         if S < rows_w:
-            L = jax.lax.dynamic_update_slice(
-                L, jax.lax.slice(work, (S, 0), (rows_w, S)), (done + S, done)
+            below = jax.lax.slice(work, (S, 0), (rows_w, S))
+            new_work = jax.lax.slice(work, (S, S), (rows_w, cols_w))
+            new_work, top, below = jax.lax.optimization_barrier(
+                (new_work, top, below)
             )
-            work = jax.lax.slice(work, (S, S), (rows_w, cols_w))
+            strips.append((done, top, below))
+            work = new_work
         else:
+            (top,) = jax.lax.optimization_barrier((top,))
+            strips.append((done, top, None))
             work = work[:0, :0]
         done += S
-        # per-superblock barrier: see the liveness/scheduling note in
-        # blocked_qr_r
-        work, L = jax.lax.optimization_barrier((work, L))
 
+    L = jnp.zeros((n_pad, n_pad), dtype)
+    for off, top, below in strips:
+        L = jax.lax.dynamic_update_slice(L, top, (off, off))
+        if below is not None:
+            L = jax.lax.dynamic_update_slice(
+                L, below, (off + top.shape[0], off)
+            )
     return L[:Nr, :Nr]
 
 

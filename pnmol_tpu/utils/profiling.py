@@ -83,3 +83,49 @@ def white_step_flops(d: int, nu: int, b: int) -> float:
 
 def steps_per_sec_to_gflops(steps_per_sec: float, d: int, nu: int, b: int) -> float:
     return steps_per_sec * white_step_flops(d, nu, b) / 1e9
+
+
+def roofline(d: int, nu: int, b: int, *, fused: bool = True,
+             mxu_highest_tflops: float = 15.0,
+             mxu_default_tflops: float = 90.0,
+             bf16_peak_tflops: float = 197.0) -> dict:
+    """Analytic roofline of one white-noise EK1 step on a v5e chip.
+
+    The step is QR-bound, and the QR's FLOPs are almost entirely compact-WY
+    trailing updates — matmuls that MUST run at explicit ``highest``
+    precision (six bf16 MXU passes; anything less injects ~1e-3-relative
+    noise into the factor, docs/SCALE.md). The measured v5e throughputs:
+    ~15 TFLOP/s at ``highest``, ~90 at the 1-pass default, 197 bf16 peak.
+
+    Consequence: the MFU-vs-bf16-peak of a CORRECT f32 sqrt-Kalman step can
+    never exceed ``mxu_highest_tflops / bf16_peak_tflops`` (~7.6%) times
+    the QR's share of step FLOPs — that is the number the measured MFU
+    should be compared against, not 100%.
+
+    Returns the ceiling steps/s and the expected MFU at the ceiling.
+    """
+    n = nu + 1
+    D = n * d
+    m = d + b
+    if fused:
+        qr = qr_flops(2 * D + m, m + D)
+    else:
+        qr = qr_flops(2 * D, D) + qr_flops(D + m, m + D)
+    other = white_step_flops(d, nu, b) - qr_flops(2 * D + m, m + D)
+    total = qr + other
+    # QR trailing updates at `highest`; the H-products/transition tolerate
+    # the default 1-pass precision
+    t_ceiling = qr / (mxu_highest_tflops * 1e12) + other / (
+        mxu_default_tflops * 1e12
+    )
+    steps_ceiling = 1.0 / t_ceiling
+    return {
+        "qr_flops": qr,
+        "other_flops": other,
+        "qr_share": qr / total,
+        "steps_per_sec_ceiling": steps_ceiling,
+        "tflops_at_ceiling": total * steps_ceiling / 1e12,
+        "mfu_ceiling_vs_bf16_peak": total * steps_ceiling / (
+            bf16_peak_tflops * 1e12
+        ),
+    }

@@ -221,3 +221,26 @@ def test_lq_factorization_hook_matches_fused_predict_update():
     # L-form returns the posterior and innovation factors lower-triangular
     assert float(jnp.max(jnp.abs(jnp.triu(C_hh, 1)))) == 0.0
     assert float(jnp.max(jnp.abs(jnp.triu(S_hh, 1)))) == 0.0
+
+
+@pytest.mark.parametrize("superblocks", [1, 2, 3])
+def test_lq_scan_superblocks_match_unrolled(superblocks):
+    """The scan-bodied sweep (superblocks < block count: lax.scan bodies,
+    runtime diagonal offsets, full-matrix trailing updates, per-superblock
+    harvest) factorizes identically (in Gram) to the unrolled sweep."""
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.standard_normal((70, 130)))
+    W = W.at[5, :].set(0.0)  # degenerate row inside the first superblock
+    L_scan = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, superblocks=superblocks,
+        interpret=True,
+    )
+    L_unrolled = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, superblocks=99, interpret=True
+    )
+    np.testing.assert_allclose(
+        L_scan @ L_scan.T, W @ W.T, rtol=1e-10, atol=1e-10
+    )
+    # identical algorithm, identical roundoff: factors match exactly-ish
+    np.testing.assert_allclose(L_scan, L_unrolled, rtol=1e-12, atol=1e-12)
+    assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_scan), 1)))) == 0.0
