@@ -692,6 +692,22 @@ def make_householder_factorization(
     return factorization
 
 
+
+def _gain_solve_lower(L1, L21, precision):
+    """gain = (L21 L1^T)(L1 L1^T)^{-1} = L21 L1^{-1} via L1^T X = L21^T.
+
+    Size-gated blocked substitution: XLA's triangular-solve expander plans
+    ~18 live (m, m) temporaries for a wide RHS (~7 GB at m = 1e4, measured
+    via memory_analysis) — the blocked panel solve is O(matrix).
+    """
+    m = L1.shape[0]
+    if m >= 4096:
+        from pnmol_tpu.ops import trisolve
+
+        return trisolve.tri_solve_lower_blocked(L1, L21.T, transpose=True).T
+    return jax.scipy.linalg.solve_triangular(L1, L21.T, lower=True, trans=1).T
+
+
 def make_householder_update_from_products(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
@@ -718,9 +734,7 @@ def make_householder_update_from_products(
         L1 = L[:m, :m]
         L21 = L[m:, :m]
         L3 = L[m:, m:]
-        gain = jax.scipy.linalg.solve_triangular(
-            L1, L21.T, lower=True, trans=1
-        ).T
+        gain = _gain_solve_lower(L1, L21, precision)
         return L3, gain, L1
 
     return update
@@ -778,9 +792,7 @@ def make_householder_lq_factorization(
         L21 = L[m:, :m]
         L3 = L[m:, m:]  # posterior factor (lower), directly
         # gain = S_xz S_zz^{-1} = (L21 L1^T)(L1 L1^T)^{-1} = L21 L1^{-1}
-        gain = jax.scipy.linalg.solve_triangular(
-            L1, L21.T, lower=True, trans=1
-        ).T
+        gain = _gain_solve_lower(L1, L21, precision)
         return L3, gain, L1
 
     factorization.propagate = make_householder_propagate(

@@ -248,7 +248,15 @@ def structured_init_y0(gram, chol_gram, y0, diffuse_scale, nugget, n):
     diag = jnp.arange(d)
     S0 = (s**2 * gram).at[diag, diag].add(nugget**2)
     S0_chol = jnp.linalg.cholesky(S0)
-    W = s**2 * jax.scipy.linalg.cho_solve((S0_chol, True), gram).T  # s^2 G S^-1
+    if d >= 4096:
+        # XLA's triangular-solve expander plans ~18 live (d, d) temporaries
+        # for a (d, d) RHS (15.5 GB at d = 1e4, measured via
+        # memory_analysis) — the blocked panel substitution is O(matrix)
+        from pnmol_tpu.ops import trisolve
+
+        W = s**2 * trisolve.cho_solve_blocked(S0_chol, gram).T
+    else:
+        W = s**2 * jax.scipy.linalg.cho_solve((S0_chol, True), gram).T  # s^2 G S^-1
     u0 = W @ y0
     # chol(nugget^2 W) = nugget * chol(W): scale outside to keep the factor
     # well inside the dtype's range for tiny nuggets.
