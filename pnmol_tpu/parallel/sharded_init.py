@@ -62,6 +62,38 @@ def sharded_update_from_products(HC, C, meascov_sqrtm, mesh, axis="space",
     return R3.T, gain, R1.T
 
 
+def _make_sharded_prior_phase(mesh, row_spec, panel_size, d):
+    """Jitted phase 1 shared by the white and latent initializers: Gram
+    Cholesky + closed-form y0 gain, everything (d, d) through the
+    distributed panel Cholesky / cho_solve (semantics:
+    ``pnmol_tpu.solvers.white.structured_init_y0``)."""
+    diag = jnp.arange(d)
+
+    @jax.jit
+    def phase_prior(gram, y0, s, nug):
+        # S0 = s^2 G + nugget^2 I via an indexed diagonal add of TRACED
+        # scalars (an eye literal constant-folds into an (N, N) dense
+        # constant at compile time)
+        S0 = (s**2 * gram).at[diag, diag].add(nug**2)
+        S0 = jax.lax.with_sharding_constraint(S0, row_spec)
+        L_S0 = sharded_linalg.blocked_cholesky(S0, mesh,
+                                               panel_size=panel_size)
+        # W = s^2 G S0^{-1}: G and S0 share an eigenbasis, so S0^{-1} G is
+        # symmetric and the row-sharded solve output needs no transpose
+        W = s**2 * sharded_linalg.blocked_cho_solve(
+            L_S0, gram, mesh, panel_size=panel_size
+        )
+        u0 = W @ y0
+        W_sym = jax.lax.with_sharding_constraint(0.5 * (W + W.T), row_spec)
+        C00 = nug * sharded_linalg.blocked_cholesky(W_sym, mesh,
+                                                    panel_size=panel_size)
+        chol_gram = sharded_linalg.blocked_cholesky(gram, mesh,
+                                                    panel_size=panel_size)
+        return chol_gram, u0, C00
+
+    return phase_prior
+
+
 def sharded_white_initialize(pde, mesh, *, num_derivatives=2,
                              spatial_kernel=None, diffuse_scale=1.0,
                              nugget=None, panel_size=None, f=None, df=None,
@@ -94,30 +126,7 @@ def sharded_white_initialize(pde, mesh, *, num_derivatives=2,
 
     gram = sharded_linalg.sharded_gram(spatial_kernel, pde.mesh_spatial.points,
                                        mesh)
-    diag = jnp.arange(d)
-
-    @jax.jit
-    def phase_prior(gram, y0, s, nug):
-        # S0 = s^2 G + nugget^2 I via an indexed diagonal add of TRACED
-        # scalars (an eye literal constant-folds into an (N, N) dense
-        # constant at compile time)
-        S0 = (s**2 * gram).at[diag, diag].add(nug**2)
-        S0 = jax.lax.with_sharding_constraint(S0, row_spec)
-        L_S0 = sharded_linalg.blocked_cholesky(S0, mesh,
-                                               panel_size=panel_size)
-        # W = s^2 G S0^{-1}: G and S0 share an eigenbasis, so S0^{-1} G is
-        # symmetric and the row-sharded solve output needs no transpose
-        W = s**2 * sharded_linalg.blocked_cho_solve(
-            L_S0, gram, mesh, panel_size=panel_size
-        )
-        u0 = W @ y0
-        W_sym = jax.lax.with_sharding_constraint(0.5 * (W + W.T), row_spec)
-        C00 = nug * sharded_linalg.blocked_cholesky(W_sym, mesh,
-                                                    panel_size=panel_size)
-        chol_gram = sharded_linalg.blocked_cholesky(gram, mesh,
-                                                    panel_size=panel_size)
-        return chol_gram, u0, C00
-
+    phase_prior = _make_sharded_prior_phase(mesh, row_spec, panel_size, d)
     chol_gram, u0, C00 = phase_prior(
         gram, y0, jnp.asarray(diffuse_scale, dtype),
         jnp.asarray(nugget, dtype),
@@ -165,6 +174,156 @@ def sharded_white_initialize(pde, mesh, *, num_derivatives=2,
     )
     mean0 = jax.device_put(iwp.flat_to_mean(m0_flat, n), replicated)
     return mean0, C0, chol_gram
+
+
+def sharded_latent_initialize(pde, mesh, *, num_derivatives=2,
+                              spatial_kernel=None, diffuse_scale=1.0,
+                              nugget=None, panel_size=None, f=None, df=None,
+                              linear=True):
+    """Distributed counterpart of ``_LatentForceEK1Base.initialize``.
+
+    The latent pre-array is the white one at twice the point count
+    (stacked state | latent-force halves, reference semantics
+    ``/root/reference/src/pnmol/latent.py:20-134``), so it hits the
+    single-chip walls FIRST — this runs every (d, d)/(2d, 2d) object of
+    the initialization through the same distributed primitives as
+    :func:`sharded_white_initialize`: sharded Gram, panel Cholesky,
+    distributed cho_solve, and the distributed blocked-QR init update on
+    the derivative-{0,1} sub-stack.
+
+    Returns ``(mean0 (n, 2d), C0 (2D, 2D) column-sharded, chol_gram
+    (d, d) row-sharded)`` — the layout
+    :func:`pnmol_tpu.parallel.sharded_filter.make_space_sharded_latent_step`
+    consumes. Semantics identical to the single-device init (mean to
+    roundoff, factor in Gram).
+    """
+    from pnmol_tpu import kernels as kernels_module
+    from pnmol_tpu.solvers import latent as latent_module
+
+    if spatial_kernel is None:
+        spatial_kernel = (
+            kernels_module.Matern52() + kernels_module.WhiteNoise()
+        )
+    n = num_derivatives + 1
+    d = pde.L.shape[0]
+    y0 = jnp.asarray(pde.y0)
+    dtype = y0.dtype
+    if nugget is None:
+        # latent nugget convention (see _LatentForceEK1Base.initialize)
+        nugget = 1e-6 if jnp.finfo(dtype).eps < 1e-10 else 1e-4
+
+    row_spec = NamedSharding(mesh, PartitionSpec("space", None))
+    col_spec = NamedSharding(mesh, PartitionSpec(None, "space"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    gram = sharded_linalg.sharded_gram(spatial_kernel, pde.mesh_spatial.points,
+                                       mesh)
+    phase_prior = _make_sharded_prior_phase(mesh, row_spec, panel_size, d)
+    chol_gram, u0, C00 = phase_prior(
+        gram, y0, jnp.asarray(diffuse_scale, dtype),
+        jnp.asarray(nugget, dtype),
+    )
+
+    init_update = functools.partial(
+        sharded_update_from_products, mesh=mesh, panel_size=panel_size
+    )
+
+    @jax.jit
+    def phase_pde(chol_gram, u0, C00, L, B, E_sqrtm, s, nug):
+        # stacked derivative-major factor blocks over (state | latent)
+        # points: deriv 0 = blockdiag(C00, s E), derivs >= 1 =
+        # blockdiag(s chol_gram, s E) — see the single-device
+        # _phase_measure in pnmol_tpu.solvers.latent
+        B0 = jax.scipy.linalg.block_diag(C00, s * E_sqrtm)
+        B1 = jax.scipy.linalg.block_diag(s * chol_gram, s * E_sqrtm)
+        B0 = jax.lax.with_sharding_constraint(B0, row_spec)
+        B1 = jax.lax.with_sharding_constraint(B1, row_spec)
+
+        if linear:
+            G_lin = L
+            z_ode = -L @ u0
+        else:
+            fx = f(pde.t0, u0)
+            Jx = df(pde.t0, u0)
+            G_lin = Jx + L
+            z_ode = -L @ u0 - fx
+        z_pde = jnp.concatenate((z_ode, B @ u0))
+
+        # latent measurement restricted to the derivative-{0,1} sub-stack:
+        # ode rows = X1_state - G X0_state - X0_eps, bc rows = B X0_state,
+        # applied columnwise to blockdiag(B0, B1)
+        b_rows = B.shape[0]
+        zeros_d = jnp.zeros((d, d), dtype)
+        HCsub = jnp.concatenate(
+            (
+                jnp.concatenate(
+                    (-G_lin @ C00, -s * E_sqrtm, s * chol_gram, zeros_d),
+                    axis=1,
+                ),
+                jnp.concatenate(
+                    (B @ C00, jnp.zeros((b_rows, 3 * d), dtype)), axis=1
+                ),
+            ),
+            axis=0,
+        )
+        # noise-free measurement + conditioning nugget via an indexed
+        # diagonal add of the TRACED nugget (eye literals constant-fold)
+        m_dim = d + b_rows
+        mdiag = jnp.arange(m_dim)
+        nugget_pde = jnp.zeros((m_dim, m_dim), dtype).at[
+            mdiag, mdiag
+        ].add(nug)
+
+        blocks = [B0] + [B1] * (n - 1)
+        u0_stack = jnp.concatenate((u0, jnp.zeros((d,), dtype)))
+        m0_flat, C0 = white_module.reduced_init_pde_update(
+            blocks, HCsub, nugget_pde, z_pde, u0_stack, init_update
+        )
+        C0 = jax.lax.with_sharding_constraint(C0, col_spec)
+        return m0_flat, C0
+
+    m0_flat, C0 = phase_pde(
+        chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm,
+        jnp.asarray(diffuse_scale, dtype), jnp.asarray(nugget, dtype),
+    )
+    # point-major glue: [state (n, d) | latent (n, d)] along the last axis
+    m0_state, m0_latent = jnp.split(m0_flat, 2)
+    mean0 = jnp.concatenate(
+        (iwp.flat_to_mean(m0_state, n), iwp.flat_to_mean(m0_latent, n)),
+        axis=1,
+    )
+    mean0 = jax.device_put(mean0, replicated)
+    return mean0, C0, chol_gram
+
+
+def sharded_latent_cache(pde, chol_gram, mesh, *, num_derivatives=2):
+    """Latent step cache with the stacked process-noise factor assembled
+    sharded: ``Ql = kron(blockdiag(chol_gram, E_sqrtm), LQ1d)``
+    column-sharded (the distributed-QR latent step's covariance layout)."""
+    from pnmol_tpu.solvers import latent as latent_module
+
+    dtype = chol_gram.dtype
+    A1d_np, _ = iwp.system_matrices_1d(num_derivatives, str(dtype))
+    col_spec = NamedSharding(mesh, PartitionSpec(None, "space"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    @jax.jit
+    def build_ql(chol_gram, E_sqrtm):
+        spatial = jax.scipy.linalg.block_diag(chol_gram, E_sqrtm)
+        merged = iwp.IntegratedWienerTransition(
+            num_derivatives=num_derivatives,
+            wiener_process_dimension=2 * chol_gram.shape[0],
+            wp_diffusion_sqrtm=spatial,
+        )
+        return jax.lax.with_sharding_constraint(
+            merged.process_noise_factor, col_spec
+        )
+
+    Ql = build_ql(chol_gram, pde.E_sqrtm)
+    put = functools.partial(jax.device_put, device=replicated)
+    return latent_module.LatentSolverCache(
+        A1d=put(jnp.asarray(A1d_np)), Ql=Ql, L=put(pde.L), B=put(pde.B)
+    )
 
 
 def sharded_white_cache(pde, chol_gram, mesh, *, num_derivatives=2):

@@ -558,3 +558,59 @@ def test_sharded_collocation_larger_grid(device_mesh):
         atol=1e-8,
     )
     assert len(E_shard.addressable_shards) > 1
+
+
+def test_sharded_latent_init_matches_single_device(device_mesh):
+    """Distributed latent-force initialization == single-device initialize
+    (mean to roundoff, covariance factor in Gram), and its outputs drive
+    the sharded latent step to the single-device step's result — the
+    latent counterpart of test_sharded_init_matches_single_device (the
+    stacked pre-array is 2x the white one in both dims, so it hits the
+    single-chip walls first)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.parallel import sharded_init
+    from pnmol_tpu.solvers import latent
+
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=1.0)
+    spatial = kernels.Matern52() + kernels.WhiteNoise()
+    solver = latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(0.05), spatial_kernel=spatial
+    )
+    state = solver.initialize(heat)
+
+    mean_s, C0_s, chol_gram_s = sharded_init.sharded_latent_initialize(
+        heat, device_mesh, num_derivatives=2, spatial_kernel=spatial,
+        diffuse_scale=solver.diffuse_prior_scale, panel_size=8,
+    )
+    assert mean_s.shape == state.y.mean.shape
+    assert jnp.allclose(mean_s, state.y.mean, rtol=1e-8, atol=1e-10)
+    assert jnp.allclose(
+        jnp.asarray(C0_s) @ jnp.asarray(C0_s).T,
+        state.y.cov_sqrtm @ state.y.cov_sqrtm.T,
+        atol=1e-8,
+    )
+    # genuinely distributed: the (2D, 2D) factor is column-sharded
+    assert len(C0_s.addressable_shards) > 1
+    space = device_mesh.shape["space"]
+    D2 = C0_s.shape[0]
+    assert C0_s.addressable_shards[0].data.shape == (D2, D2 // space)
+
+    # the sharded cache + state drive the distributed-QR latent step to
+    # the single-device step's result
+    cache_s = sharded_init.sharded_latent_cache(
+        heat, chol_gram_s, device_mesh, num_derivatives=2
+    )
+    step = sharded_filter.make_space_sharded_latent_step(
+        cache=cache_s, num_derivatives=2, mesh=device_mesh, linear=True,
+        distributed_qr=True, panel_size=16,
+    )
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+    )
+    with device_mesh:
+        got = step(mean_s, C0_s, jnp.asarray(0.05), jnp.asarray(0.05))
+    assert jnp.allclose(got[0], expected[0], atol=1e-8)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-7
+    )
