@@ -25,15 +25,27 @@ def _sync(x):
     return x
 
 
-def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla"):
+def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
+              solver_name="white"):
+    import functools
+
     import pnmol_tpu
     from pnmol_tpu import discretize, kernels
     from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import latent as latent_module
     from pnmol_tpu.solvers import white as white_module
 
     t0 = time.perf_counter()
     dx = 1.0 / (n_side - 1)
-    if dim == 2:
+    if dim == 1:
+        # the 1-D N-ladder family (bench.py's problem at arbitrary N; the
+        # latent ladder runs here — docs/SCALE.md)
+        heat = pnmol_tpu.pde.examples.heat_1d_discretized(
+            dx=dx,
+            tmax=1.0,
+            kernel=kernels.SquareExponential(input_scale=0.1 / dx),
+        )
+    elif dim == 2:
         heat = pnmol_tpu.pde.examples.heat_2d_discretized(
             num_points=(n_side, n_side),
             kernel=kernels.SquareExponential(input_scale=0.15 / dx),
@@ -60,7 +72,12 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla"):
     d = heat.L.shape[0]
 
     t0 = time.perf_counter()
-    solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+    solver_cls = (
+        pnmol_tpu.white.LinearWhiteNoiseEK1
+        if solver_name == "white"
+        else pnmol_tpu.latent.LinearLatentForceEK1
+    )
+    solver = solver_cls(
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=nu,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
@@ -72,16 +89,21 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla"):
 
     cache = solver._cache
     dt = jnp.asarray(1e-3, state.y.mean.dtype)
+    attempt = (
+        white_module.white_attempt_step
+        if solver_name == "white"
+        else latent_module.latent_attempt_step
+    )
+    attempt = functools.partial(
+        attempt, num_derivatives=nu, f=None, df=None, linear=True,
+        fused=fused, factorization=solver.factorization,
+    )
 
     @jax.jit
     def run(cache, mean, cov):
         def body(carry, t):
             m, c = carry
-            m, c, _, _, _ = white_module.white_attempt_step(
-                cache, m, c, t, dt,
-                num_derivatives=nu, f=None, df=None, linear=True, fused=fused,
-                factorization=solver.factorization,
-            )
+            m, c, _, _, _ = attempt(cache, m, c, t, dt)
             return (m, c), None
 
         ts = jnp.arange(1, num_steps + 1, dtype=dt.dtype) * dt
@@ -101,14 +123,17 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla"):
 
     mean_final = out[0]
     nan_free = not bool(jnp.any(jnp.isnan(mean_final)))
-    decayed = float(jnp.abs(mean_final[0]).max()) < float(
-        jnp.abs(state.y.mean[0]).max()
+    # latent state glues [solution | latent force]; judge decay on the
+    # solution half only
+    decayed = float(jnp.abs(mean_final[0, :d]).max()) < float(
+        jnp.abs(state.y.mean[0, :d]).max()
     )
     print(json.dumps({
-        "demo": "heat2d_step" if dim == 2 else "advdiff3d_step",
+        "demo": {1: "heat1d_step", 2: "heat2d_step", 3: "advdiff3d_step"}[dim],
+        "solver": solver_name,
         "grid": [n_side] * dim,
         "N": d,
-        "state_dim": d * (nu + 1),
+        "state_dim": d * (nu + 1) * (2 if solver_name == "latent" else 1),
         "nu": nu,
         "dtype": str(state.y.mean.dtype),
         "device": str(jax.devices()[0]),
@@ -174,7 +199,9 @@ if __name__ == "__main__":
     parser.add_argument("--n", type=int, default=100,
                         help="grid side (step mode) or total points (gram)")
     parser.add_argument("--nu", type=int, default=1)
-    parser.add_argument("--dim", type=int, default=2, choices=(2, 3))
+    parser.add_argument("--dim", type=int, default=2, choices=(1, 2, 3))
+    parser.add_argument("--solver", choices=("white", "latent"),
+                        default="white")
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--input-scale", type=float, default=5.0)
@@ -183,6 +210,6 @@ if __name__ == "__main__":
     args = parser.parse_args()
     if args.mode == "step":
         demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim,
-                  factorization=args.factorization)
+                  factorization=args.factorization, solver_name=args.solver)
     else:
         demo_gram(args.n, args.input_scale)
