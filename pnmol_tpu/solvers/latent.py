@@ -134,13 +134,22 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Predict + update covariance] (noise-free measurement)
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
-    if factorization is not None:
+    zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
+    if factorization is not None and not fused and hasattr(
+        factorization, "propagate"
+    ):
+        # two-QR pipeline through the custom factorization — the latent
+        # fused pre-array is 2x the white one in both dims, so its
+        # double-buffered sweep hits the single-chip HBM wall first
+        # (docs/SCALE.md "N=1e4 single-chip")
+        Clp = factorization.propagate(ACl, cache.Ql)
+        HClp = apply_H(Clp)
+        Cl_new, K, Sl = factorization.update_from_products(HClp, Clp, zeros_R)
+    elif factorization is not None:
         HACl = apply_H(ACl)
-        zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
         Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, zeros_R)
     elif fused:
         HACl = apply_H(ACl)
-        zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
         Cl_new, K, Sl = sqrt.fused_predict_update(
             HACl, ACl, HQl, cache.Ql, zeros_R
         )

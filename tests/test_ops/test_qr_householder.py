@@ -244,3 +244,39 @@ def test_lq_scan_superblocks_match_unrolled(superblocks):
     # identical algorithm, identical roundoff: factors match exactly-ish
     np.testing.assert_allclose(L_scan, L_unrolled, rtol=1e-12, atol=1e-12)
     assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_scan), 1)))) == 0.0
+
+
+def test_latent_two_qr_routing_through_hook():
+    """fused=False + a hook with .propagate/.update_from_products runs the
+    latent step through the two-QR pipeline (the memory-light split: the
+    latent fused pre-array is 2x the white one in both dims and hits the
+    single-chip HBM wall first) and matches the fused result."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import latent as latent_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.2)
+    solver = pnmol_tpu.latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    state = solver.initialize(heat)
+    mean, cov = state.y.mean, state.y.cov_sqrtm
+    dt = jnp.asarray(0.05, mean.dtype)
+
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    out_ref = latent_module.latent_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=True,
+    )
+    out_two = latent_module.latent_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=False, factorization=hook,
+    )
+    np.testing.assert_allclose(out_two[0], out_ref[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        out_two[1] @ out_two[1].T, out_ref[1] @ out_ref[1].T,
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(out_two[4], out_ref[4], rtol=1e-9)
