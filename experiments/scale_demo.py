@@ -88,7 +88,9 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     init_s = time.perf_counter() - t0
 
     cache = solver._cache
-    dt = jnp.asarray(1e-3, state.y.mean.dtype)
+    mean, cov = state.y.mean, state.y.cov_sqrtm
+    dtype_str = str(mean.dtype)
+    dt = jnp.asarray(1e-3, mean.dtype)
     attempt = (
         white_module.white_attempt_step
         if solver_name == "white"
@@ -99,7 +101,16 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         fused=fused, factorization=solver.factorization,
     )
 
-    @jax.jit
+    # Free everything the step does not consume before it runs: the problem
+    # (E_sqrtm etc.), the solver (its IWP holds the (d, d) Gram factor), and
+    # the state container — at N = 1e4 these ~GB-scale leftovers are the
+    # difference between fitting and ResourceExhausted. The decay check
+    # keeps a host copy of the initial solution row.
+    mean0_host = jnp.asarray(mean[0, :d]).block_until_ready()
+    mean0_max = float(jnp.max(jnp.abs(mean0_host)))
+    del mean0_host, state, solver, heat
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def run(cache, mean, cov):
         def body(carry, t):
             m, c = carry
@@ -109,14 +120,17 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         ts = jnp.arange(1, num_steps + 1, dtype=dt.dtype) * dt
         return jax.lax.scan(body, (mean, cov), ts)[0]
 
+    # mean/cov are DONATED: each call consumes its inputs and the timing
+    # call continues the solve from the warm-up call's output, so only one
+    # state generation is ever resident.
     t0 = time.perf_counter()
-    out = run(cache, state.y.mean, state.y.cov_sqrtm)
+    out = run(cache, mean, cov)
     _sync(out)
     float(jnp.sum(out[0]))  # force remote completion
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = run(cache, state.y.mean, state.y.cov_sqrtm)
+    out = run(cache, *out)
     _sync(out)
     float(jnp.sum(out[0]))
     steps_per_sec = num_steps / (time.perf_counter() - t0)
@@ -125,9 +139,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     nan_free = not bool(jnp.any(jnp.isnan(mean_final)))
     # latent state glues [solution | latent force]; judge decay on the
     # solution half only
-    decayed = float(jnp.abs(mean_final[0, :d]).max()) < float(
-        jnp.abs(state.y.mean[0, :d]).max()
-    )
+    decayed = float(jnp.abs(mean_final[0, :d]).max()) < mean0_max
     print(json.dumps({
         "demo": {1: "heat1d_step", 2: "heat2d_step", 3: "advdiff3d_step"}[dim],
         "solver": solver_name,
@@ -135,7 +147,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         "N": d,
         "state_dim": d * (nu + 1) * (2 if solver_name == "latent" else 1),
         "nu": nu,
-        "dtype": str(state.y.mean.dtype),
+        "dtype": dtype_str,
         "device": str(jax.devices()[0]),
         "fused_qr": fused,
         "steps_per_sec": round(steps_per_sec, 4),
