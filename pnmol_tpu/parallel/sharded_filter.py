@@ -203,6 +203,103 @@ def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
     return functools.partial(solve, cache)
 
 
+def make_space_sharded_adaptive_solve(*, cache, num_derivatives, mesh,
+                                      steprule, t0, tmax, f=None, df=None,
+                                      linear=True, latent=False,
+                                      distributed_qr=True, panel_size=None):
+    """End-to-end space-sharded ADAPTIVE solve (one ``lax.while_loop``).
+
+    The ``simulate_final_state`` semantics of the adaptive while-loop driver
+    (``pnmol_tpu.solvers.pdefilter._final_state_adaptive_whileloop``) under
+    the sharded step: every attempt runs through the SAME compiled
+    :func:`pnmol_tpu.solvers.pdefilter.adaptive_attempt` controller unit as
+    the single-device drivers (identical accept/reject/clamp decisions —
+    the error estimate and controller math are replicated scalars), with
+    the covariance carried in the distributed-QR layout across attempts.
+    Returns a jitted ``solve(mean0, cov0, dt0) -> (t, mean, cov,
+    diffusion_sq, n_steps, n_attempts)`` with the final covariance factor
+    already rescaled by ``sqrt(diffusion_sq)``.
+    """
+    from pnmol_tpu.solvers import latent as latent_module
+    from pnmol_tpu.solvers import pdefilter as pdefilter_module
+    from pnmol_tpu.solvers import white as white_module_
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+    if distributed_qr:
+        factorization = functools.partial(
+            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        )
+        cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    else:
+        factorization = None
+        cov_sharding = NamedSharding(mesh, PartitionSpec("space", None))
+
+    attempt = (
+        latent_module.latent_attempt_step
+        if latent
+        else white_module_.white_attempt_step
+    )
+    rate = num_derivatives + 1
+    tmax_f = float(tmax)
+    # same residual-step epsilon guard as the single-device drivers: a
+    # ~1e-16 closing step's dt^-(nu+1/2) preconditioner costs ~5 digits
+    t_eps = 1e-12 * max(1.0, abs(tmax_f))
+
+    @jax.jit
+    def solve(cache_arg, mean0, cov0, dt0):
+        mean0 = jax.lax.with_sharding_constraint(mean0, replicated)
+        cov0 = jax.lax.with_sharding_constraint(cov0, cov_sharding)
+        dtype = mean0.dtype
+
+        def step_fn(mean, cov, t_next, dt):
+            m, c, err, ref, diff = attempt(
+                cache_arg, mean, cov, t_next, dt,
+                num_derivatives=num_derivatives, f=f, df=df, linear=linear,
+                fused=True, factorization=factorization,
+            )
+            m = jax.lax.with_sharding_constraint(m, replicated)
+            c = jax.lax.with_sharding_constraint(c, cov_sharding)
+            return m, c, err, ref, diff
+
+        def cond(carry):
+            return jnp.asarray(tmax_f, carry[0].dtype) - carry[0] > t_eps
+
+        def body(carry):
+            t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry
+            (t_new, mean_new, cov_new, dt_new, accepted, _, _, diff_sq,
+             _) = pdefilter_module.adaptive_attempt(
+                step_fn, steprule, rate, t, mean, cov, dt,
+                jnp.asarray(tmax_f, dt.dtype),
+            )
+            cov_new = jax.lax.with_sharding_constraint(cov_new, cov_sharding)
+            diff_new = diff_sum + jnp.where(accepted, diff_sq, 0.0)
+            return (
+                t_new, mean_new, cov_new, dt_new, diff_new,
+                n_steps + accepted.astype(jnp.int32),
+                n_attempts + jnp.ones((), jnp.int32),
+            )
+
+        carry0 = (
+            jnp.asarray(t0, dtype),
+            mean0,
+            cov0,
+            jnp.asarray(dt0, dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        )
+        t, mean, cov, dt, diff_sum, n_steps, n_attempts = jax.lax.while_loop(
+            cond, body, carry0
+        )
+        diffusion_sq = diff_sum / jnp.maximum(n_steps, 1)
+        cov = jax.lax.with_sharding_constraint(
+            cov * jnp.sqrt(diffusion_sq), cov_sharding
+        )
+        return t, mean, cov, diffusion_sq, n_steps, n_attempts
+
+    return functools.partial(solve, cache)
+
+
 def shard_cache(cache, mesh, distributed_qr=False):
     """Place the step cache on the mesh: Ql sharded to match the step's
     covariance layout, small operands replicated."""

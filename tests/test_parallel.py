@@ -614,3 +614,55 @@ def test_sharded_latent_init_matches_single_device(device_mesh):
     assert jnp.allclose(
         got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("latent_mode", [False, True], ids=["white", "latent"])
+def test_space_sharded_adaptive_solve_matches_final_state(device_mesh,
+                                                          latent_mode):
+    """End-to-end ADAPTIVE sharded solve (one while_loop, shared
+    adaptive_attempt controller) == single-device simulate_final_state:
+    identical accept/reject trajectory (t, step counts), mean to
+    roundoff, covariance in Gram, calibrated diffusion."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import latent, white
+
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=0.3)
+    rule = step_module.Adaptive(abstol=1e-4, reltol=1e-2)
+    solver_cls = latent.LinearLatentForceEK1 if latent_mode else (
+        white.LinearWhiteNoiseEK1
+    )
+    solver = solver_cls(steprule=rule)
+    state = solver.initialize(heat)
+    final, info = solver.simulate_final_state(heat)
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    solve = sharded_filter.make_space_sharded_adaptive_solve(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh,
+        steprule=rule, t0=heat.t0, tmax=heat.tmax, linear=True,
+        latent=latent_mode, distributed_qr=True, panel_size=16,
+    )
+    dt0 = jnp.asarray(rule.first_dt(heat))
+    with device_mesh:
+        t, mean, cov, diff_sq, n_steps, n_attempts = solve(
+            state.y.mean, state.y.cov_sqrtm, dt0
+        )
+
+    # trajectory-level decisions are EXACT (same compiled controller on
+    # replicated scalars); state values accumulate the Gram-based
+    # distributed panels' eps*cond error over the trajectory (measured
+    # ~5e-6 abs on a ~0.1-magnitude mean after 5 steps in f64 — the
+    # documented blocked_qr_r accuracy characteristic, docs/SCALE.md)
+    assert int(n_steps) == info["num_steps"]
+    assert int(n_attempts) == info["num_attempted_steps"]
+    assert jnp.allclose(t, final.t, atol=1e-12)
+    assert jnp.allclose(mean, final.y.mean, rtol=1e-3, atol=2e-5)
+    assert jnp.allclose(
+        cov @ cov.T,
+        final.y.cov_sqrtm @ final.y.cov_sqrtm.T,
+        rtol=1e-3, atol=1e-5,
+    )
+    assert jnp.allclose(diff_sq, final.diffusion_squared_local, rtol=1e-4)
+    assert len(cov.addressable_shards) > 1
