@@ -28,6 +28,7 @@ the device run, the measured-faster default; xla = XLA's QR). The CPU
 oracle always uses XLA's QR (the reference pipeline).
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -43,7 +44,12 @@ N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
-FUSED = os.environ.get("PNMOL_BENCH_FUSED", "1") == "1"
+# The fused pre-array's LQ work matrix is double-buffered across the sweep
+# loop; past N ~ 9e3 that pair alone overflows a 16 GB chip and the two-QR
+# Householder split is the single-chip configuration (docs/SCALE.md
+# "N=1e4 single-chip"). Auto-select unless the env pins it.
+_FUSED_ENV = os.environ.get("PNMOL_BENCH_FUSED")
+FUSED = (_FUSED_ENV == "1") if _FUSED_ENV is not None else N_POINTS < 9216
 MATMUL_PRECISION = os.environ.get("PNMOL_BENCH_MATMUL_PRECISION", "default")
 NU = int(os.environ.get("PNMOL_BENCH_NU", "2"))
 # Pallas blocked Householder LQ: same stability as XLA's QR (f64-oracle
@@ -114,8 +120,13 @@ def _child(mode: str) -> None:
     dt = jnp.asarray(1e-3, dtype)
 
     factorization = solver.factorization  # resolved hook (or None)
+    # Free dead init buffers before stepping: the solver's IWP holds the
+    # (d, d) Gram factor and the problem holds E_sqrtm — at N = 1e4 these
+    # leftovers are the difference between fitting and ResourceExhausted
+    # (docs/SCALE.md "N=1e4 single-chip").
+    del state, solver, heat
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def run(cache, mean, cov):
         def body(carry, t):
             m, c = carry
@@ -136,6 +147,10 @@ def _child(mode: str) -> None:
         jax.block_until_ready(out)
         return float(jnp.sum(out[0]))
 
+    # mean/cov are DONATED: each call consumes its inputs, and the timing
+    # repeats continue the solve from the previous output so only one
+    # state generation is ever resident (steady-state throughput; the
+    # trajectory prefix is irrelevant to per-step cost at fixed shapes).
     with jax.default_matmul_precision(MATMUL_PRECISION):
         t_compile0 = time.perf_counter()
         out = run(cache, mean, cov)  # compile + warmup
@@ -145,7 +160,7 @@ def _child(mode: str) -> None:
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            out = run(cache, mean, cov)
+            out = run(cache, *out)
             _force(out)
             best = min(best, time.perf_counter() - t0)
 
