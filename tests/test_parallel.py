@@ -666,3 +666,44 @@ def test_space_sharded_adaptive_solve_matches_final_state(device_mesh,
     )
     assert jnp.allclose(diff_sq, final.diffusion_squared_local, rtol=1e-4)
     assert len(cov.addressable_shards) > 1
+
+
+def test_space_sharded_semilinear_step_matches_unsharded(device_mesh):
+    """SEMILINEAR sharded white step (nonlinear f/df linearized inside the
+    GSPMD-jitted step) == single-device step — the sharded tier's solver
+    tests were linear-only before this."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    # dirichlet spruce-budworm at 16 points: 48 state rows tile the mesh
+    spruce = examples.spruce_budworm_1d_discretized(
+        bbox=[0.0, 1.0], dx=1.0 / 15, tmax=1.0
+    )
+    solver = white.SemiLinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.01),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(spruce)
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.01), jnp.asarray(0.01)
+    )
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    sharded_step = sharded_filter.make_space_sharded_white_step(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh,
+        f=spruce.f, df=spruce.df, linear=False, distributed_qr=True,
+        panel_size=16,
+    )
+    with device_mesh:
+        got = sharded_step(
+            state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.01), jnp.asarray(0.01)
+        )
+    assert jnp.allclose(got[0], expected[0], atol=1e-8)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-7
+    )
+    assert jnp.allclose(got[4], expected[4], rtol=1e-6)
+    assert len(got[1].addressable_shards) > 1
