@@ -36,10 +36,11 @@ import sys
 import time
 
 # Measured on TPU v5e (single chip, f32 end-to-end, forced-completion
-# timing): N=512 -> 241-246 steps/s with the Pallas blocked Householder LQ
-# (157-172x the CPU-f64 oracle across runs; 161 steps/s with XLA's QR);
-# see docs/SCALE.md for the full ladder up to N=8192 and the 2-D/3-D
-# families.
+# timing): N=512 -> 218-246 steps/s with the Pallas blocked Householder LQ
+# (157-175x the CPU-f64 oracle across runs; 161 steps/s with XLA's QR);
+# N=1e4 (PNMOL_BENCH_N=10000 PNMOL_BENCH_NU=1) -> 0.263 steps/s at 678x
+# the projected CPU-f64 oracle — the BASELINE.md metric-of-record point.
+# See docs/SCALE.md for the full ladder and the 2-D/3-D/latent families.
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
