@@ -202,14 +202,14 @@ class RungeKutta(InitializationRoutine):
             sc_fut_pre = p_inv_raw[:, None] * sc_fut
 
             m_sm, sc_sm = kalman.smoother_step_sqrt(
-                m=m_pre,
-                sc=sc_pre,
-                m_fut=m_fut_pre,
-                sc_fut=sc_fut_pre,
-                sgain=sgain_fut,
-                sq=sq_1d,
-                mp=m_pred,
-                x=x,
+                mean=m_pre,
+                cov_l=sc_pre,
+                mean_next=m_fut_pre,
+                cov_l_next=sc_fut_pre,
+                smoothing_gain=sgain_fut,
+                proc_noise_l=sq_1d,
+                mean_pred=m_pred,
+                transited_l=x,
             )
             m_fut, sc_fut = p_raw[:, None] * m_sm, p_raw[:, None] * sc_sm
             _, _, sgain_fut, m_pred, _, x, p_raw, p_inv_raw = entry

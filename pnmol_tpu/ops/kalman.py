@@ -14,57 +14,71 @@ from pnmol_tpu.ops import sqrt
 
 
 @jax.jit
-def filter_step(m, sc, phi, sq, h, b, data):
+def filter_step(mean, cov_l, transition, proc_noise_l, obs_mat, obs_shift, data):
     """One predict + smoothing-gain + noise-free-update step.
 
-    Reference semantics: ``kalman.py:11-28``.
+    All covariances travel as lower Cholesky factors. Returns the updated
+    pair, the smoothing gain for the later backward pass, the predicted
+    pair, and the transited factor ``transition @ cov_l`` (reused by the
+    square-root smoother). Reference semantics: ``kalman.py:11-28``.
     """
-    m_pred = phi @ m
-    x1 = phi @ sc
-    sc_pred = sqrt.propagate_cholesky_factor(x1, sq)
+    mean_pred = transition @ mean
+    transited_l = transition @ cov_l
+    cov_l_pred = sqrt.propagate_cholesky_factor(transited_l, proc_noise_l)
 
-    cross = sc @ x1.T
-    sgain = jax.scipy.linalg.cho_solve((sc_pred, True), cross.T).T
+    cross_cov = cov_l @ transited_l.T
+    smoothing_gain = jax.scipy.linalg.cho_solve(
+        (cov_l_pred, True), cross_cov.T
+    ).T
 
-    sc_new, kgain, _ = sqrt.update_sqrt_no_meascov(h, sc_pred)
-    z = h @ m_pred + b
-    m_new = m_pred - kgain @ (z - data)
-    return m_new, sc_new, sgain, m_pred, sc_pred, x1
+    cov_l_new, kalman_gain, _ = sqrt.update_sqrt_no_meascov(obs_mat, cov_l_pred)
+    residual = obs_mat @ mean_pred + obs_shift - data
+    mean_new = mean_pred - kalman_gain @ residual
+    return mean_new, cov_l_new, smoothing_gain, mean_pred, cov_l_pred, transited_l
 
 
 @jax.jit
-def smoother_step_traditional(m, sc, m_fut, sc_fut, sgain, mp, scp):
+def smoother_step_traditional(
+    mean, cov_l, mean_next, cov_l_next, smoothing_gain, mean_pred, cov_l_pred
+):
     """Full-covariance RTS smoother step (testing oracle).
 
+    Forms the dense covariances explicitly — numerically the naive textbook
+    recursion, kept only to cross-check the square-root form below.
     Reference semantics: ``kalman.py:32-45``.
     """
-    c = sc @ sc.T
-    c_fut = sc_fut @ sc_fut.T
-    cp = scp @ scp.T
+    cov = cov_l @ cov_l.T
+    cov_next = cov_l_next @ cov_l_next.T
+    cov_pred = cov_l_pred @ cov_l_pred.T
 
-    new_mean = m + sgain @ (m_fut - mp)
-    new_cov = c + sgain @ (c_fut - cp) @ sgain.T
-    return new_mean, jnp.linalg.cholesky(new_cov)
+    mean_smoothed = mean + smoothing_gain @ (mean_next - mean_pred)
+    cov_smoothed = cov + smoothing_gain @ (cov_next - cov_pred) @ smoothing_gain.T
+    return mean_smoothed, jnp.linalg.cholesky(cov_smoothed)
 
 
 @jax.jit
-def smoother_step_sqrt(m, sc, m_fut, sc_fut, sgain, sq, mp, x):
+def smoother_step_sqrt(
+    mean, cov_l, mean_next, cov_l_next, smoothing_gain, proc_noise_l,
+    mean_pred, transited_l
+):
     """Square-root RTS smoother step via one QR of a 3-block stack.
 
+    The smoothed factor is read out of the middle block-row of the
+    triangularized stack; no dense covariance is ever formed.
     Reference semantics: ``kalman.py:48-66``.
     """
-    new_mean = m - sgain @ (mp - m_fut)
+    mean_smoothed = mean - smoothing_gain @ (mean_pred - mean_next)
 
-    d = m.shape[0]
-    zeros = jnp.zeros((d, d), dtype=sc.dtype)
+    n = mean.shape[0]
+    zeros = jnp.zeros((n, n), dtype=cov_l.dtype)
     stacked = jnp.concatenate(
         (
-            jnp.concatenate((x.T, sc.T), axis=1),
-            jnp.concatenate((sq.T, zeros), axis=1),
-            jnp.concatenate((zeros, sc_fut.T @ sgain.T), axis=1),
+            jnp.concatenate((transited_l.T, cov_l.T), axis=1),
+            jnp.concatenate((proc_noise_l.T, zeros), axis=1),
+            jnp.concatenate((zeros, cov_l_next.T @ smoothing_gain.T), axis=1),
         ),
         axis=0,
     )
-    R = sqrt.triu_qr(stacked)
-    new_cov_cholesky = R[d : 2 * d, d:].T
-    return new_mean, new_cov_cholesky
+    triangular = sqrt.triu_qr(stacked)
+    cov_l_smoothed = triangular[n : 2 * n, n:].T
+    return mean_smoothed, cov_l_smoothed

@@ -68,14 +68,14 @@ def smooth_trajectory(*, A1d, Ql, num_derivatives, means, cov_sqrtms, dts):
         sgain = jax.scipy.linalg.cho_solve((scp, True), cross.T).T
 
         m_s, c_s = kalman.smoother_step_sqrt(
-            m=m_prec,
-            sc=cl,
-            m_fut=m_fut_prec,
-            sc_fut=c_fut_prec,
-            sgain=sgain,
-            sq=Ql,
-            mp=mp,
-            x=x,
+            mean=m_prec,
+            cov_l=cl,
+            mean_next=m_fut_prec,
+            cov_l_next=c_fut_prec,
+            smoothing_gain=sgain,
+            proc_noise_l=Ql,
+            mean_pred=mp,
+            transited_l=x,
         )
 
         # back to non-preconditioned coordinates
