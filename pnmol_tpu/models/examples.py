@@ -250,6 +250,93 @@ def advection_diffusion_discretized(
     return pde
 
 
+def fisher_kpp_2d(
+    *,
+    bbox=None,
+    t0=0.0,
+    tmax=5.0,
+    y0_fun=None,
+    diffusion_rate=0.05,
+    growth_rate=1.0,
+    bcond="dirichlet",
+):
+    """2-D Fisher-KPP reaction-diffusion (logistic growth + diffusion).
+
+    Beyond the reference's model zoo (its semilinear recipes are all 1-D,
+    ``/root/reference/src/pnmol/pde/examples.py``): the pointwise logistic
+    nonlinearity of :func:`spruce_budworm_1d` composed with the n-D
+    discretization path that :func:`heat_2d` exercises — a 2-D traveling
+    front whose PDE-filter solve runs through the semilinear EK1 solvers.
+    """
+    if bbox is None:
+        bbox = [[0.0, 1.0], [0.0, 1.0]]
+    bbox = jnp.asarray(bbox)
+
+    if y0_fun is None:
+
+        def y0_fun(x):
+            bump = jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+            return 0.5 * bump[..., None]
+
+    @jax.jit
+    def f(_, x):
+        return growth_rate * x * (1.0 - x)
+
+    df = jax.jit(jax.jacfwd(f, argnums=1))
+
+    cls = {
+        "dirichlet": problems.SemiLinearEvolutionDirichlet,
+        "neumann": problems.SemiLinearEvolutionNeumann,
+    }.get(bcond)
+    if cls is None:
+        raise ValueError(f"Unknown boundary condition: {bcond!r}")
+    return cls(
+        t0=t0,
+        tmax=tmax,
+        y0_fun=y0_fun,
+        bbox=bbox,
+        diffop=diffops.laplace(),
+        diffop_scale=diffusion_rate,
+        f=f,
+        df=df,
+        df_diagonal=None,
+    )
+
+
+def fisher_kpp_2d_discretized(
+    *,
+    bbox=None,
+    num_points=(12, 12),
+    stencil_size_interior=9,
+    stencil_size_boundary=5,
+    t0=0.0,
+    tmax=5.0,
+    y0_fun=None,
+    diffusion_rate=0.05,
+    growth_rate=1.0,
+    nugget_gram_matrix_fd=1e-12,
+    kernel=None,
+    bcond="dirichlet",
+):
+    pde = fisher_kpp_2d(
+        bbox=bbox,
+        t0=t0,
+        tmax=tmax,
+        y0_fun=y0_fun,
+        diffusion_rate=diffusion_rate,
+        growth_rate=growth_rate,
+        bcond=bcond,
+    )
+    pde.discretize(
+        mesh_spatial=mesh.RectangularMesh.from_bbox_2d(pde.bbox, nums=num_points),
+        kernel=kernel if kernel is not None else kernels.SquareExponential(),
+        stencil_size_interior=stencil_size_interior,
+        stencil_size_boundary=stencil_size_boundary,
+        nugget_gram_matrix=nugget_gram_matrix_fd,
+    )
+    return pde
+
+
 # ---------------------------------------------------------------------------
 # SIR reaction-diffusion system (3 species, semilinear)
 # ---------------------------------------------------------------------------
