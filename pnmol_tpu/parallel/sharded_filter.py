@@ -262,7 +262,14 @@ def make_space_sharded_adaptive_solve(*, cache, num_derivatives, mesh,
             return m, c, err, ref, diff
 
         def cond(carry):
-            return jnp.asarray(tmax_f, carry[0].dtype) - carry[0] > t_eps
+            # isfinite(dt): a NaN attempt is permanently rejected and t stops
+            # advancing — without this escape the compiled multi-chip loop
+            # would spin forever. A diverged solve exits early; callers
+            # detect it by the returned t < tmax (this function is fully
+            # jitted, so it cannot raise host-side).
+            return (
+                jnp.asarray(tmax_f, carry[0].dtype) - carry[0] > t_eps
+            ) & jnp.isfinite(carry[3])
 
         def body(carry):
             t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry

@@ -198,7 +198,6 @@ def sharded_latent_initialize(pde, mesh, *, num_derivatives=2,
     roundoff, factor in Gram).
     """
     from pnmol_tpu import kernels as kernels_module
-    from pnmol_tpu.solvers import latent as latent_module
 
     if spatial_kernel is None:
         spatial_kernel = (

@@ -28,7 +28,7 @@ import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
 from pnmol_tpu.solvers import pdefilter
-from pnmol_tpu.solvers.white import point_major_blockdiag, structured_init_y0
+from pnmol_tpu.solvers.white import structured_init_y0
 
 
 class LatentSolverCache(NamedTuple):

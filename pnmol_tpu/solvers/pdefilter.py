@@ -322,6 +322,17 @@ class PDEFilter(ABC):
             step_info["num_df_evaluations"] += 1
             accepted = bool(acc)
             t, mean, cov, dt = t_new, mean_new, cov_new, dt_new
+            if not bool(jnp.isfinite(dt)):
+                # A NaN attempt is always rejected (NaN error compares
+                # False) and the masked state stays finite — the non-finite
+                # suggested dt is the divergence signal. Raising here keeps
+                # the accept/reject loop from spinning forever.
+                raise FloatingPointError(
+                    f"Adaptive solve diverged at t={float(t):.6g}: the "
+                    "attempted step produced a non-finite error estimate "
+                    "(step size suggestion is NaN). Reduce dt/tolerances "
+                    "or use utils.resilience.solve_resilient."
+                )
             assert float(dt) >= 0, f"Invalid step size: dt={float(dt)}"
         new_state = PDEFilterState(
             t=t,
@@ -432,8 +443,12 @@ class PDEFilter(ABC):
         t_eps = 1e-12 * max(1.0, abs(float(tmax)))
 
         def cond(carry):
-            t = carry[0]
-            return tmax - t > t_eps
+            t, dt = carry[0], carry[3]
+            # isfinite(dt): a NaN attempt is permanently rejected (NaN error
+            # compares False) and t stops advancing — without this escape
+            # the compiled loop would spin on device forever. The host-side
+            # check after the loop turns the early exit into an error.
+            return (tmax - t > t_eps) & jnp.isfinite(dt)
 
         def body(carry):
             t, mean, cov, dt, diff_sum, n_steps, n_attempts = carry
@@ -466,6 +481,12 @@ class PDEFilter(ABC):
         t, mean, cov, dt, diff_sum, n_steps, n_attempts = jax.lax.while_loop(
             cond, body, carry0
         )
+        if not bool(jnp.isfinite(dt)):
+            raise FloatingPointError(
+                f"Adaptive solve diverged at t={float(t):.6g}: the attempted "
+                "step produced a non-finite error estimate. Reduce "
+                "dt/tolerances or use utils.resilience.solve_resilient."
+            )
         diffusion = diff_sum / jnp.maximum(n_steps, 1)
         info = dict(
             num_f_evaluations=int(n_attempts),
@@ -501,8 +522,9 @@ class PDEFilter(ABC):
         buf_diff = jnp.zeros((max_steps + 1,), dtype=dt0.dtype)
 
         def cond(carry):
-            t, *_, idx, _ = carry
-            return (tmax - t > t_eps) & (idx < max_steps)
+            t, _, _, dt, *_, idx, _ = carry
+            # isfinite(dt): divergence escape — see _final_state_adaptive_whileloop
+            return (tmax - t > t_eps) & (idx < max_steps) & jnp.isfinite(dt)
 
         def body(carry):
             t, mean, cov, dt, bt, bm, bc, bd, idx, n_att = carry
@@ -532,9 +554,17 @@ class PDEFilter(ABC):
             jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
         )
-        t, _, _, _, bt, bm, bc, bd, idx, n_att = jax.lax.while_loop(cond, body, carry0)
+        t, _, _, dt_out, bt, bm, bc, bd, idx, n_att = jax.lax.while_loop(
+            cond, body, carry0
+        )
 
         num_steps = int(idx)
+        if not bool(jnp.isfinite(dt_out)):
+            raise FloatingPointError(
+                f"Adaptive solve diverged at t={float(t):.6g}: the attempted "
+                "step produced a non-finite error estimate. Reduce "
+                "dt/tolerances or use utils.resilience.solve_resilient."
+            )
         if tmax - float(t) > t_eps:
             raise RuntimeError(
                 f"Adaptive solve needed more than max_steps={max_steps} accepted "

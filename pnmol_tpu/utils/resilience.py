@@ -117,8 +117,18 @@ def solve_resilient(
                         dt_c, jnp.asarray(tmax, mean_c.dtype),
                     )
                 )
+                # A NaN-producing attempt is always REJECTED (NaN error
+                # compares False), and adaptive_attempt masks the rejected
+                # state back to the old finite values — so the state check
+                # alone never fires for it. The controller outputs (dt, the
+                # raw error estimate) are NOT masked: a non-finite dt/error
+                # is the rejected-NaN-attempt signature and must restart,
+                # or the accept/reject loop spins forever with dt = NaN.
                 if not bool(
-                    jnp.all(jnp.isfinite(mean_c)) and jnp.all(jnp.isfinite(cov_c))
+                    jnp.all(jnp.isfinite(mean_c))
+                    and jnp.all(jnp.isfinite(cov_c))
+                    and jnp.isfinite(dt_c)
+                    and jnp.all(jnp.isfinite(error))
                 ):
                     failed = True
                     break

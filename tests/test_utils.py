@@ -185,6 +185,65 @@ def test_solve_resilient_adaptive_recovers_from_injected_nan(tmp_path, monkeypat
     assert bool(jnp.all(jnp.isfinite(final.y.mean)))
 
 
+def test_solve_resilient_adaptive_recovers_from_rejected_nan_attempt(
+    tmp_path, monkeypatch
+):
+    """The REAL divergence shape: a NaN-producing attempt is always rejected
+    (NaN error compares False), adaptive_attempt masks the state back to
+    finite values, and only dt/error carry the NaN. Without policing the
+    controller outputs the accept/reject loop would spin forever."""
+    from pnmol_tpu.solvers import pdefilter as pdefilter_module
+
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Adaptive(), spatial_kernel=PRIOR)
+
+    real_attempt = pdefilter_module.adaptive_attempt
+    armed = {"on": True}
+
+    def flaky_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax):
+        out = real_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax)
+        if armed["on"] and float(t) >= 0.2:
+            armed["on"] = False
+            out = list(out)
+            out[3] = out[3] * jnp.nan          # suggested dt: NaN
+            out[4] = jnp.zeros_like(out[4])    # rejected
+            out[5] = out[5] * jnp.nan          # raw error estimate: NaN
+            out = tuple(out)                   # state (out[1:3]) stays finite
+        return out
+
+    monkeypatch.setattr(pdefilter_module, "adaptive_attempt", flaky_attempt)
+    final, report = resilience.solve_resilient(
+        solver, pde, checkpoint_dir=tmp_path / "ck", checkpoint_every=2
+    )
+    assert float(final.t) == pytest.approx(0.5)
+    assert report.num_failures == 1
+    assert report.num_restarts == 1
+    assert bool(jnp.all(jnp.isfinite(final.y.mean)))
+
+
+def test_adaptive_driver_raises_on_persistent_nan_attempt(monkeypatch):
+    """The compiled final-state while_loop exits (isfinite(dt) in cond) and
+    raises instead of spinning forever when every attempt past some t is a
+    rejected NaN."""
+    from pnmol_tpu.solvers import pdefilter as pdefilter_module
+
+    pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.LinearWhiteNoiseEK1(steprule=step.Adaptive(), spatial_kernel=PRIOR)
+
+    real_attempt = pdefilter_module.adaptive_attempt
+
+    def flaky_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax):
+        out = list(real_attempt(step_fn, steprule, rate, t, mean, cov, dt, tmax))
+        poison = t >= 0.2  # traced-compatible: poisons every attempt past t
+        out[3] = jnp.where(poison, jnp.nan, out[3])
+        out[4] = out[4] & ~poison
+        return tuple(out)
+
+    monkeypatch.setattr(pdefilter_module, "adaptive_attempt", flaky_attempt)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        solver.simulate_final_state(pde)
+
+
 def test_solve_resilient_rejects_unknown_steprule(tmp_path):
     pde = examples.heat_1d_discretized(dx=0.2, tmax=0.5)
     solver = white.LinearWhiteNoiseEK1(steprule=step.Constant(0.1), spatial_kernel=PRIOR)
