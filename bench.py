@@ -42,7 +42,15 @@ import time
 # the projected CPU-f64 oracle — the BASELINE.md metric-of-record point.
 # See docs/SCALE.md for the full ladder and the 2-D/3-D/latent families.
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
-NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", "32"))
+# The axon relay charges a FIXED ~72 ms roundtrip per jitted execution
+# regardless of how much device work it contains (measured: a trivial scan
+# costs 72-75 ms total at 8 AND at 1024 iterations —
+# experiments/relay_floor_probe.py). A 32-step scan therefore reads
+# +2.2 ms/step of pure tunnel latency — a 2x error on millisecond steps.
+# Auto-scale the scan length so the floor is <3% of the measurement;
+# at large N the per-step cost is seconds and 32 steps amortize it fine.
+_auto_steps = 512 if N_POINTS <= 1024 else (128 if N_POINTS <= 2560 else 32)
+NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", str(_auto_steps)))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 # The fused pre-array's LQ work matrix is double-buffered across the sweep

@@ -468,6 +468,208 @@ def _dot_nt(a, b, precision):
     )
 
 
+# ---------------------------------------------------------------------------
+# Block panel kernel: the FULL (block, cols) panel factorization — leaf
+# column loops, intra-block trailing updates, and the block-wide compact-WY
+# T^T — in ONE Pallas kernel invocation.
+#
+# Motivation (round 3, docs/SCALE.md roofline): at N <= 2048 the sweep is
+# dispatch-bound, not MXU-bound — the leaf-kernel form issues ~15 XLA ops
+# per block (4 leaf calls, 3 merge chains, slices/updates), each a
+# microsecond-scale launch on millisecond-scale steps. Fusing the whole
+# panel into one kernel cuts the per-block op count ~5x at identical FLOPs
+# and identical arithmetic (same column steps, same leaf-merge order, same
+# `highest`-precision dots — factors match the leaf form to roundoff).
+# ---------------------------------------------------------------------------
+
+
+def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
+    """Householder LQ of a (block, cols) wide panel, diagonal at lane
+    ``off + row``.
+
+    ``off_in``: (1,) int32 SMEM scalar — diagonal lane offset of panel row 0
+    (runtime value: one compiled kernel serves every block position of the
+    scan-bodied sweep, exactly like :func:`_leaf_lq_kernel`).
+
+    ``lv_out``: (block, cols) — L values at lanes <= off + row, reflector
+    tails at lanes > off + row (unit diagonals implicit).
+    ``t_out``: (block, block) — block-wide T^T (lower triangular, tau on the
+    diagonal) of the compact WY ``Q = I - V^T T V`` (V rows = reflectors).
+
+    Structure per ``leaf`` rows: the column loop is the exact
+    :func:`_leaf_lq_kernel` recurrence (static unroll, full-width masked VPU
+    ops); afterwards the leaf's T^T merges into the block T^T and the
+    remaining panel rows take one rank-``leaf`` MXU trailing update — the
+    same dataflow the driver runs across kernels in the leaf form, here
+    fused on-chip.
+    """
+    cols = w_in.shape[1]
+    dtype = w_in.dtype
+    off = off_in[0]
+    lv_out[:] = w_in[:]
+    t_out[:] = jnp.zeros((block, block), dtype)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    row_ids_leaf = jax.lax.broadcasted_iota(jnp.int32, (leaf, 1), 0)
+    leaf_lane = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 1)
+    leaf_row = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 0)
+    t_rows = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    t_lanes = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    def reflectors(rows_slab, first_row):
+        """Masked reflector rows (unit diagonal explicit) of stored rows."""
+        h = rows_slab.shape[0]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 0) + first_row
+        ll = jax.lax.broadcasted_iota(jnp.int32, (h, cols), 1)
+        diag = ll - off
+        return jnp.where(
+            diag > rr, rows_slab, jnp.where(diag == rr, one, zero)
+        ).astype(dtype)
+
+    for jl in range(0, block, leaf):
+        tT_leaf = jnp.zeros((leaf, leaf), dtype)
+        for k in range(leaf):
+            row = jl + k
+            x = lv_out[row : row + 1, :]  # (1, cols) static sublane slice
+            d_eq = lane_ids == off + row
+            d_gt = lane_ids > off + row
+            alpha = jnp.sum(jnp.where(d_eq, x, zero))
+            sigma = jnp.sum(jnp.where(d_gt, x * x, zero))
+            norm = jnp.sqrt(alpha * alpha + sigma)
+            sign = jnp.where(alpha >= 0, one, -one)
+            beta = -sign * norm
+            denom = alpha - beta
+            safe = norm > 0
+            inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
+            tau = jnp.where(
+                safe, (beta - alpha) / jnp.where(safe, beta, one), zero
+            )
+
+            v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))
+
+            w_leaf = lv_out[jl : jl + leaf, :]  # static slice
+            s = jnp.sum(w_leaf * v, axis=1, keepdims=True)  # (leaf, 1)
+            upd = w_leaf - (tau * s) * v
+            row_k_new = jnp.where(
+                d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
+            )
+            lv_out[jl : jl + leaf, :] = jnp.where(
+                row_ids_leaf > k,
+                upd,
+                jnp.where(row_ids_leaf == k, row_k_new, w_leaf),
+            )
+
+            # leaf-local T^T recurrence (row k): -tau * z^T T^T, z = s[:k]
+            z = jnp.where(row_ids_leaf < k, s, zero)  # (leaf, 1)
+            tT_row = -tau * jnp.sum(z * tT_leaf, axis=0, keepdims=True)
+            t_col_new = jnp.where(
+                t_lanes == k, tau, jnp.where(t_lanes < k, tT_row, zero)
+            )
+            tT_leaf = jnp.where(t_rows == k, t_col_new, tT_leaf)
+
+        # --- merge the leaf T^T into the block-wide T^T -------------------
+        # Only full-lane-width row strips are written (sublane slicing is
+        # cheap in Mosaic; lane slicing is not): the leaf T^T lands at lanes
+        # jl..jl+leaf via a tiny selector matmul, the cross term fills lanes
+        # < jl, and rows are stored with one strip write.
+        v_leaf = reflectors(lv_out[jl : jl + leaf, :], jl)
+        sel_rows = jax.lax.broadcasted_iota(jnp.int32, (leaf, block), 0)
+        sel_lanes = jax.lax.broadcasted_iota(jnp.int32, (leaf, block), 1)
+        sel = jnp.where(sel_lanes == jl + sel_rows, one, zero)  # (leaf, block)
+        strip = jnp.dot(
+            tT_leaf, sel, precision=_PRECISIONS[precision],
+            preferred_element_type=dtype,
+        )  # tT_leaf placed at lanes jl..jl+leaf
+        if jl > 0:
+            v_prev = reflectors(lv_out[:jl, :], 0)
+            cross = jax.lax.dot_general(  # V2 V1^T, (leaf, jl)
+                v_leaf, v_prev,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=_PRECISIONS[precision],
+            )
+            tT_prev = t_out[:jl, :]  # (jl, block) — support lanes < jl
+            strip = strip - jnp.dot(
+                jnp.dot(tT_leaf, cross, precision=_PRECISIONS[precision],
+                        preferred_element_type=dtype),
+                tT_prev, precision=_PRECISIONS[precision],
+                preferred_element_type=dtype,
+            )
+        t_out[jl : jl + leaf, :] = strip
+
+        # --- intra-panel trailing update (rows below this leaf) -----------
+        rest_h = block - (jl + leaf)
+        if rest_h > 0:
+            rest = lv_out[jl + leaf : block, :]
+            u = jax.lax.dot_general(  # rest @ V^T, (rest_h, leaf)
+                rest, v_leaf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=_PRECISIONS[precision],
+            )
+            ut = jax.lax.dot_general(  # u @ (T^T)^T = u @ T
+                u, tT_leaf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=_PRECISIONS[precision],
+            )
+            lv_out[jl + leaf : block, :] = rest - jnp.dot(
+                ut, v_leaf, precision=_PRECISIONS[precision],
+                preferred_element_type=dtype,
+            )
+
+
+def _block_lq(slab, off, *, leaf: int, block: int, interpret: bool = False,
+              precision: str = "highest"):
+    """Run the block panel kernel on one (block, cols) slab.
+
+    ``off`` may be a traced int32 scalar (SMEM), as in :func:`_leaf_lq`.
+    """
+    cols = slab.shape[1]
+    dtype = slab.dtype
+    kernel = functools.partial(
+        _block_lq_kernel, leaf=leaf, block=block, precision=precision
+    )
+    extra = {}
+    if _HAS_PLTPU and not interpret:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        slab_bytes = cols * block * slab.dtype.itemsize
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(110 * 2**20, 6 * slab_bytes + 2**22)
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec((1,), lambda: (0,)),
+            pl.BlockSpec(slab.shape, lambda: (0, 0)),
+        ]
+        out_specs = (
+            pl.BlockSpec((block, cols), lambda: (0, 0)),
+            pl.BlockSpec((block, block), lambda: (0, 0)),
+        )
+    off_arr = jnp.asarray(off, jnp.int32).reshape((1,))
+    lv, t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((block, cols), dtype),
+            jax.ShapeDtypeStruct((block, block), dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret or not _HAS_PLTPU,
+        **extra,
+    )(off_arr, slab)
+    return lv, t
+
+
 def _split_lv(lv, off: int):
     """(V_W with unit diagonal, rows = reflectors) from a wide leaf output."""
     leaf, cols = lv.shape
@@ -488,6 +690,7 @@ def _blocked_lq_l_impl(
     superblocks: int = None,
     interpret: bool = False,
     precision: str = "highest",
+    panel: str = "block",
 ):
     """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
     (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
@@ -526,9 +729,14 @@ def _blocked_lq_l_impl(
         # auto policy, measured on v5e (docs/SCALE.md round 3): the fully
         # unrolled sweep (superblocks = nb -> inline bodies, per-block
         # shrinking) is ~1.4x faster per call and its graph compiles fine up
-        # to ~512 leaf calls; beyond that the scan form caps the graph at
+        # to ~512 Pallas calls; beyond that the scan form caps the graph at
         # O(8) bodies (the relay's XLA compile helper dies near ~1e3 calls).
-        superblocks = nb if n_pad <= 16384 else 8
+        # The block-panel kernel issues ONE call per block (the leaf form
+        # issues block/leaf), so it stays unrolled 4x longer — past the
+        # N=1e4 pre-array shapes, whose scan form costs ~6% extra sweep
+        # FLOPs (full-span trailing updates between superblock shrinks).
+        calls_per_block = 1 if panel == "block" else block // leaf
+        superblocks = nb if nb * calls_per_block <= 512 else 8
     sb_blocks = max(1, -(-nb // max(1, superblocks)))
 
     work = W
@@ -554,44 +762,67 @@ def _blocked_lq_l_impl(
             zero_i = jnp.zeros((), off.dtype)
             blk = jax.lax.dynamic_slice(work, (off, zero_i), (block, cols_w))
 
-            # --- factor the block rows, leaf by leaf ----------------------
-            vs, ts = [], []
-            for jl in range(0, block, leaf):
-                slab = jax.lax.slice(blk, (jl, 0), (jl + leaf, cols_w))
+            if panel == "block":
+                # --- whole-panel Pallas kernel (leaf loops, intra-panel
+                # trailing updates, block-wide T^T — one launch per block) --
+                slab = blk
                 if cols_q > cols_w:
                     slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
-                lv, t = _leaf_lq(slab, off + jl, leaf=leaf, interpret=interpret)
-                lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
-                blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
-                v = _split_lv(lv, off + jl)  # (leaf, cols_w) reflector rows
-                rest_h = block - (jl + leaf)
-                if rest_h > 0:
-                    rest = jax.lax.slice(blk, (jl + leaf, 0), (block, cols_w))
-                    u = _dot_nt(rest, v, precision)  # (rest_h, leaf)
-                    # t stores T^T: U T = U (T^T)^T
-                    rest = rest - _dot(_dot_nt(u, t, precision), v, precision)
-                    blk = jax.lax.dynamic_update_slice(blk, rest, (jl + leaf, 0))
-                vs.append(v)
-                ts.append(t)
-
-            # --- merge leaf reflectors into one block-wide compact WY -----
-            v_blk = jnp.concatenate(vs, axis=0) if len(vs) > 1 else vs[0]
-            tT_blk = ts[0]
-            for i in range(1, len(ts)):
-                w1 = tT_blk.shape[0]
-                v1 = jax.lax.slice(v_blk, (0, 0), (w1, cols_w))
-                cross = _dot_nt(v1, vs[i], precision)  # (w1, leaf) = V1 V2^T
-                # T^T12 = -T2^T cross^T T1^T
-                t12T = -_dot(_dot(ts[i], cross.T, precision), tT_blk, precision)
-                tT_blk = jnp.concatenate(
-                    (
-                        jnp.concatenate(
-                            (tT_blk, jnp.zeros((w1, leaf), dtype)), axis=1
-                        ),
-                        jnp.concatenate((t12T, ts[i]), axis=1),
-                    ),
-                    axis=0,
+                lv, tT_blk = _block_lq(
+                    slab, off, leaf=leaf, block=block, interpret=interpret,
+                    precision=precision,
                 )
+                blk = jax.lax.slice(lv, (0, 0), (block, cols_w))
+                v_blk = _split_lv(blk, off)  # (block, cols_w) reflector rows
+            else:
+                # --- factor the block rows, leaf by leaf ------------------
+                vs, ts = [], []
+                for jl in range(0, block, leaf):
+                    slab = jax.lax.slice(blk, (jl, 0), (jl + leaf, cols_w))
+                    if cols_q > cols_w:
+                        slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
+                    lv, t = _leaf_lq(
+                        slab, off + jl, leaf=leaf, interpret=interpret
+                    )
+                    lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
+                    blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
+                    v = _split_lv(lv, off + jl)  # (leaf, cols_w) reflectors
+                    rest_h = block - (jl + leaf)
+                    if rest_h > 0:
+                        rest = jax.lax.slice(
+                            blk, (jl + leaf, 0), (block, cols_w)
+                        )
+                        u = _dot_nt(rest, v, precision)  # (rest_h, leaf)
+                        # t stores T^T: U T = U (T^T)^T
+                        rest = rest - _dot(
+                            _dot_nt(u, t, precision), v, precision
+                        )
+                        blk = jax.lax.dynamic_update_slice(
+                            blk, rest, (jl + leaf, 0)
+                        )
+                    vs.append(v)
+                    ts.append(t)
+
+                # --- merge leaf reflectors into one block-wide compact WY -
+                v_blk = jnp.concatenate(vs, axis=0) if len(vs) > 1 else vs[0]
+                tT_blk = ts[0]
+                for i in range(1, len(ts)):
+                    w1 = tT_blk.shape[0]
+                    v1 = jax.lax.slice(v_blk, (0, 0), (w1, cols_w))
+                    cross = _dot_nt(v1, vs[i], precision)  # (w1, leaf)
+                    # T^T12 = -T2^T cross^T T1^T
+                    t12T = -_dot(
+                        _dot(ts[i], cross.T, precision), tT_blk, precision
+                    )
+                    tT_blk = jnp.concatenate(
+                        (
+                            jnp.concatenate(
+                                (tT_blk, jnp.zeros((w1, leaf), dtype)), axis=1
+                            ),
+                            jnp.concatenate((t12T, ts[i]), axis=1),
+                        ),
+                        axis=0,
+                    )
 
             # finalized block rows: L values only, reflector tails zeroed —
             # the exact zeros above the diagonal are what annihilates these
@@ -649,7 +880,8 @@ def _blocked_lq_l_impl(
 blocked_lq_l = jax.jit(
     _blocked_lq_l_impl,
     static_argnames=(
-        "leaf", "block", "lane_quant", "superblocks", "interpret", "precision"
+        "leaf", "block", "lane_quant", "superblocks", "interpret",
+        "precision", "panel",
     ),
 )
 
@@ -711,6 +943,7 @@ def _gain_solve_lower(L1, L21, precision):
 def make_householder_update_from_products(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
+    panel: str = "block",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
@@ -720,7 +953,7 @@ def make_householder_update_from_products(
     single-chip memory peak at large N) and valid anywhere the dense-tier
     function is."""
 
-    def update(HC, C, meascov_sqrtm):
+    def blocks(HC, C, meascov_sqrtm):
         m, D = HC.shape
         top = jnp.concatenate((HC, meascov_sqrtm), axis=1)
         bottom = jnp.concatenate(
@@ -730,19 +963,25 @@ def make_householder_update_from_products(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
+            panel=panel,
         )
-        L1 = L[:m, :m]
-        L21 = L[m:, :m]
-        L3 = L[m:, m:]
+        return L[m:, m:], L[m:, :m], L[:m, :m]  # (L3, L21, L1)
+
+    def update(HC, C, meascov_sqrtm):
+        L3, L21, L1 = blocks(HC, C, meascov_sqrtm)
         gain = _gain_solve_lower(L1, L21, precision)
         return L3, gain, L1
 
+    # raw factor blocks (no gain solve): the step-level mean update only
+    # needs K @ z = L21 @ (L1^{-1} z) — see sqrt.update_sqrt_from_products_blocks
+    update.blocks = blocks
     return update
 
 
 def make_householder_propagate(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
+    panel: str = "block",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
@@ -754,6 +993,7 @@ def make_householder_propagate(
             jnp.concatenate((S1, S2), axis=1),
             leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
+            panel=panel,
         )
 
     return propagate
@@ -762,6 +1002,7 @@ def make_householder_propagate(
 def make_householder_lq_factorization(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
+    panel: str = "block",
 ):
     """A ``factorization=`` hook running the pre-array factorization in the
     wide (LQ) orientation of :func:`blocked_lq_l` — the TPU-preferred form:
@@ -776,7 +1017,7 @@ def make_householder_lq_factorization(
     is the HBM peak and the two-QR split is what fits.
     """
 
-    def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
+    def blocks(HACl, ACl, HQl, Ql, meascov_sqrtm):
         m, D = HACl.shape
         # W = pre_array^T = [[HACl, HQl, E], [ACl, Ql, 0]]  ((m+D) x (2D+m))
         top = jnp.concatenate((HACl, HQl, meascov_sqrtm), axis=1)
@@ -787,20 +1028,30 @@ def make_householder_lq_factorization(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
+            panel=panel,
         )
-        L1 = L[:m, :m]  # innovation factor (lower), directly
-        L21 = L[m:, :m]
-        L3 = L[m:, m:]  # posterior factor (lower), directly
+        # (posterior L3, cross L21, innovation L1) — all lower, directly
+        return L[m:, m:], L[m:, :m], L[:m, :m]
+
+    def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
+        L3, L21, L1 = blocks(HACl, ACl, HQl, Ql, meascov_sqrtm)
         # gain = S_xz S_zz^{-1} = (L21 L1^T)(L1 L1^T)^{-1} = L21 L1^{-1}
         gain = _gain_solve_lower(L1, L21, precision)
         return L3, gain, L1
 
+    # raw factor blocks (no gain solve): the step-level mean update only
+    # needs K @ z = L21 @ (L1^{-1} z), where L1^{-1} z is the whitened
+    # residual the diffusion calibration computes anyway
+    factorization.blocks = blocks
+
     factorization.propagate = make_householder_propagate(
         leaf=leaf, block=block, lane_quant=lane_quant,
         superblocks=superblocks, interpret=interpret, precision=precision,
+        panel=panel,
     )
     factorization.update_from_products = make_householder_update_from_products(
         leaf=leaf, block=block, lane_quant=lane_quant,
         superblocks=superblocks, interpret=interpret, precision=precision,
+        panel=panel,
     )
     return factorization

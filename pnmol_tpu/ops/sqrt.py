@@ -150,6 +150,43 @@ def fused_predict_update(HACl, ACl, HQl, Ql, meascov_sqrtm):
     return R3.T, gain, R1.T
 
 
+@jax.jit
+def update_sqrt_from_products_blocks(HC, C, meascov_sqrtm):
+    """:func:`update_sqrt_from_products` without the gain solve.
+
+    Returns the raw factor blocks ``(posterior_cov_factor (D, D),
+    cross_factor L21 (D, m), innovation_factor L1 (m, m))`` with
+    ``S_xz = L21 @ L1^T``. The Kalman gain is ``L21 @ L1^{-1}`` — but a
+    filter step never needs it as a matrix: the mean update is
+    ``K @ z = L21 @ (L1^{-1} z)``, and ``L1^{-1} z`` is exactly the whitened
+    residual the diffusion calibration computes anyway, so one shared
+    *vector* triangular solve replaces the (m, m) x (D rhs) matrix solve
+    (2 ms/step at N=512, a ~7 GB XLA expansion at N=1e4 — measured,
+    docs/SCALE.md round 3).
+    """
+    m, D = HC.shape
+    top = jnp.concatenate((HC.T, C.T), axis=1)
+    bottom = jnp.concatenate(
+        (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HC.dtype)), axis=1
+    )
+    R = triu_qr(jnp.concatenate((top, bottom), axis=0))
+    return R[m:, m:].T, R[:m, m:].T, R[:m, :m].T
+
+
+@jax.jit
+def fused_predict_update_blocks(HACl, ACl, HQl, Ql, meascov_sqrtm):
+    """:func:`fused_predict_update` without the gain solve (see
+    :func:`update_sqrt_from_products_blocks` for the block contract)."""
+    m, D = HACl.shape
+    top = jnp.concatenate((HACl.T, ACl.T), axis=1)
+    mid = jnp.concatenate((HQl.T, Ql.T), axis=1)
+    bottom = jnp.concatenate(
+        (meascov_sqrtm.T, jnp.zeros((m, D), dtype=HACl.dtype)), axis=1
+    )
+    R = triu_qr(jnp.concatenate((top, mid, bottom), axis=0))
+    return R[m:, m:].T, R[:m, m:].T, R[:m, :m].T
+
+
 def batched_update_sqrt(batched_transition_matrix, batched_cov_cholesky):
     """vmap-batched noise-free updates (homogeneous shapes, unlike the
     reference's Python loop at ``sqrt.py:98-111``)."""

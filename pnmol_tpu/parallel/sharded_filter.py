@@ -54,6 +54,37 @@ def pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, *, mesh, axis="space",
     return R3.T, gain, R1.T
 
 
+def make_distributed_factorization(*, mesh, axis="space", panel_size=None):
+    """Distributed pre-array factorization hook with a ``.blocks`` variant.
+
+    ``.blocks`` returns the raw factor blocks ``(posterior, L21, L1)``
+    without the gain solve — the step kernels compute the mean update as
+    ``L21 @ (L1^{-1} z)`` from the calibration's whitened residual, so the
+    sharded matrix triangular solve (one per step in the legacy contract)
+    disappears entirely from the distributed hot loop.
+    """
+
+    def blocks(HACl, ACl, HQl, Ql, R_noise):
+        m, D = HACl.shape
+        top = jnp.concatenate((HACl.T, ACl.T), axis=1)
+        mid = jnp.concatenate((HQl.T, Ql.T), axis=1)
+        bottom = jnp.concatenate(
+            (R_noise.T, jnp.zeros((m, D), dtype=R_noise.dtype)), axis=1
+        )
+        pre = jnp.concatenate((top, mid, bottom), axis=0)
+        R = sharded_linalg.blocked_qr_r(pre, mesh=mesh, axis=axis,
+                                        panel_size=panel_size)
+        # R is replicated: the blocks are exactly the transposed slices
+        return R[m:, m:].T, R[:m, m:].T, R[:m, :m].T
+
+    def factorization(HACl, ACl, HQl, Ql, R_noise):
+        return pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, mesh=mesh,
+                                    axis=axis, panel_size=panel_size)
+
+    factorization.blocks = blocks
+    return factorization
+
+
 def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
                                   df=None, linear=True, distributed_qr=False,
                                   panel_size=None):
@@ -68,8 +99,8 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
     """
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
-        factorization = functools.partial(
-            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        factorization = make_distributed_factorization(
+            mesh=mesh, panel_size=panel_size
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
@@ -114,8 +145,8 @@ def make_space_sharded_latent_step(*, cache, num_derivatives, mesh, f=None,
 
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
-        factorization = functools.partial(
-            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        factorization = make_distributed_factorization(
+            mesh=mesh, panel_size=panel_size
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
@@ -158,8 +189,8 @@ def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
 
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
-        factorization = functools.partial(
-            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        factorization = make_distributed_factorization(
+            mesh=mesh, panel_size=panel_size
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
@@ -226,8 +257,8 @@ def make_space_sharded_adaptive_solve(*, cache, num_derivatives, mesh,
 
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
-        factorization = functools.partial(
-            pre_array_blocked_qr, mesh=mesh, panel_size=panel_size
+        factorization = make_distributed_factorization(
+            mesh=mesh, panel_size=panel_size
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:

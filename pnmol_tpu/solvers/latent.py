@@ -132,7 +132,10 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     sigma_sq_err = z @ whitened_err / m_dim
     error = dt * (jnp.sqrt(jnp.diag(S_err)) * jnp.sqrt(sigma_sq_err))[:d]
 
-    # [Predict + update covariance] (noise-free measurement)
+    # [Predict + update covariance] (noise-free measurement). As in the
+    # white step, the gain matrix is never materialized: every pipeline
+    # yields the raw blocks (Cl_new, L21, Sl) and the mean update reuses
+    # the calibration's whitened residual, K @ z = L21 @ (Sl^{-1} z).
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
     zeros_R = jnp.zeros((z.shape[0], z.shape[0]), dtype=ACl.dtype)
     if factorization is not None and not fused and hasattr(
@@ -144,25 +147,42 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         # (docs/SCALE.md "N=1e4 single-chip")
         Clp = factorization.propagate(ACl, cache.Ql)
         HClp = apply_H(Clp)
-        Cl_new, K, Sl = factorization.update_from_products(HClp, Clp, zeros_R)
+        upd = factorization.update_from_products
+        if hasattr(upd, "blocks"):
+            Cl_new, L21, Sl = upd.blocks(HClp, Clp, zeros_R)
+        else:
+            Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                HClp, Clp, zeros_R
+            )
     elif factorization is not None:
         HACl = apply_H(ACl)
-        Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, zeros_R)
+        if hasattr(factorization, "blocks"):
+            Cl_new, L21, Sl = factorization.blocks(
+                HACl, ACl, HQl, cache.Ql, zeros_R
+            )
+        else:
+            Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, zeros_R)
+            L21 = None
     elif fused:
         HACl = apply_H(ACl)
-        Cl_new, K, Sl = sqrt.fused_predict_update(
+        Cl_new, L21, Sl = sqrt.fused_predict_update_blocks(
             HACl, ACl, HQl, cache.Ql, zeros_R
         )
     else:
         Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
         HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_no_meascov_from_products(HClp, Clp)
-    m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+        Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+            HClp, Clp, zeros_R
+        )
 
-    # [Calibrate] true Mahalanobis via the lower solve (sign-invariant;
-    # see the note in pnmol_tpu.solvers.white)
+    # [Calibrate + mean update] true Mahalanobis via the lower solve
+    # (sign-invariant; see the note in pnmol_tpu.solvers.white)
     residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
     diffusion_sq = residual_white @ residual_white / m_dim
+    if L21 is not None:
+        m_new_flat = iwp.mean_to_flat(Mp) - L21 @ residual_white
+    else:  # legacy hook contract: explicit gain
+        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
     # [Un-precondition]
     M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]

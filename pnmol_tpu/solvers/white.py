@@ -126,6 +126,14 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
 
     # [Predict + update covariance]
+    # Every pipeline below produces the raw factor blocks (Cl_new, L21, Sl)
+    # with S_xz = L21 Sl^T: the Kalman gain K = L21 Sl^{-1} is never
+    # materialized, because the mean update only needs
+    # K @ z = L21 @ (Sl^{-1} z) — and Sl^{-1} z is exactly the whitened
+    # residual the diffusion calibration needs. One shared VECTOR triangular
+    # solve replaces the (m, m) x (D rhs) matrix gain solve (measured
+    # 2 ms/step at N=512; a multi-GB XLA trisolve expansion and an (D, m)
+    # gain buffer at N=1e4 — docs/SCALE.md round 3).
     ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
     if factorization is not None and not fused and hasattr(
         factorization, "propagate"
@@ -134,32 +142,50 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         # the fused pre-array is the HBM peak at the largest single-chip N)
         Clp = factorization.propagate(ACl, cache.Ql)
         HClp = apply_H(Clp)
-        Cl_new, K, Sl = factorization.update_from_products(HClp, Clp, E_bc)
+        upd = factorization.update_from_products
+        if hasattr(upd, "blocks"):
+            Cl_new, L21, Sl = upd.blocks(HClp, Clp, E_bc)
+        else:
+            Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                HClp, Clp, E_bc
+            )
     elif factorization is not None:
         # pluggable pre-array factorization (e.g. the distributed blocked QR
         # in pnmol_tpu.parallel.sharded_linalg); same contract as
-        # sqrt.fused_predict_update
+        # sqrt.fused_predict_update. Hooks carrying a ``.blocks`` attribute
+        # skip their gain solve entirely.
         HACl = apply_H(ACl)
-        Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, E_bc)
+        if hasattr(factorization, "blocks"):
+            Cl_new, L21, Sl = factorization.blocks(
+                HACl, ACl, HQl, cache.Ql, E_bc
+            )
+        else:
+            Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, E_bc)
+            L21 = None
     elif fused:
         # one pre-array QR; HQl is shared with the error estimate above
         HACl = apply_H(ACl)
-        Cl_new, K, Sl = sqrt.fused_predict_update(
+        Cl_new, L21, Sl = sqrt.fused_predict_update_blocks(
             HACl, ACl, HQl, cache.Ql, E_bc
         )
     else:
         Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
         HClp = apply_H(Clp)
-        Cl_new, K, Sl = sqrt.update_sqrt_from_products(HClp, Clp, E_bc)
-    m_new_flat = iwp.mean_to_flat(Mp) - K @ z
+        Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+            HClp, Clp, E_bc
+        )
 
-    # [Calibrate] local diffusion from the whitened residual: the true
-    # Mahalanobis form z^T S^{-1} z with S = Sl Sl^T, via the LOWER solve
-    # Sl w = z. (The reference solves against Sl^T — ``white.py:125`` —
-    # which yields z^T (R1 R1^T)^{-1} z instead and silently depends on
-    # the QR sign convention; the lower solve is invariant.)
+    # [Calibrate + mean update] whitened residual via the LOWER solve
+    # Sl w = z; the true Mahalanobis form z^T S^{-1} z with S = Sl Sl^T.
+    # (The reference solves against Sl^T — ``white.py:125`` — which yields
+    # z^T (R1 R1^T)^{-1} z instead and silently depends on the QR sign
+    # convention; the lower solve is invariant.)
     residual_white = jax.scipy.linalg.solve_triangular(Sl, z, lower=True)
     diffusion_sq = residual_white @ residual_white / m_dim
+    if L21 is not None:
+        m_new_flat = iwp.mean_to_flat(Mp) - L21 @ residual_white
+    else:  # legacy hook contract: explicit gain
+        m_new_flat = iwp.mean_to_flat(Mp) - K @ z
 
     # [Un-precondition]
     M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
@@ -367,12 +393,15 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
       — same Householder stability, measured faster than XLA's QR on TPU
       (docs/SCALE.md).
     * any callable — e.g.
-      ``functools.partial(parallel.sharded_filter.pre_array_blocked_qr,
-      mesh=...)``: the all-matmul panel factorization, 2.5x faster than
-      XLA's QR on the MXU but with an eps*cond posterior-factor error in
-      f32 (exact in f64); see docs/SCALE.md. A callable is a jit *static*
-      compared by object identity — reuse ONE instance across solvers, or
-      every solver recompiles the step kernel.
+      ``parallel.sharded_filter.make_distributed_factorization(mesh=...)``:
+      the all-matmul panel factorization, 2.5x faster than XLA's QR on the
+      MXU but with an eps*cond posterior-factor error in f32 (exact in
+      f64); see docs/SCALE.md. A callable is a jit *static* compared by
+      object identity — reuse ONE instance across solvers, or every solver
+      recompiles the step kernel. A callable carrying a ``.blocks``
+      attribute (``(...) -> (posterior, L21, innovation)``) skips its gain
+      solve: the step computes ``K @ z = L21 @ (Sl^{-1} z)`` from the
+      calibration's whitened residual, so the gain matrix never exists.
     """
 
     LINEAR: bool = True

@@ -223,6 +223,40 @@ def test_lq_factorization_hook_matches_fused_predict_update():
     assert float(jnp.max(jnp.abs(jnp.triu(S_hh, 1)))) == 0.0
 
 
+@pytest.mark.parametrize("shape", [(17, 40), (64, 64), (70, 130)], ids=str)
+def test_lq_block_panel_matches_leaf_panel(shape):
+    """The fused block-panel kernel (one Pallas call per block: leaf column
+    loops + intra-panel trailing updates + block-wide T^T) runs the exact
+    same arithmetic as the leaf-kernel form — factors match to roundoff."""
+    rng = np.random.default_rng(12)
+    W = jnp.asarray(rng.standard_normal(shape))
+    W = W.at[min(5, shape[0] - 1), :].set(0.0)  # degenerate row
+    L_block = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, interpret=True, panel="block"
+    )
+    L_leaf = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, interpret=True, panel="leaf"
+    )
+    np.testing.assert_allclose(L_block, L_leaf, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        L_block @ L_block.T, W @ W.T, rtol=1e-10, atol=1e-10
+    )
+    assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_block), 1)))) == 0.0
+
+
+@pytest.mark.parametrize("superblocks", [1, 2])
+def test_lq_block_panel_scan_form(superblocks):
+    """Block-panel kernel under the scan-bodied sweep (runtime offsets)."""
+    rng = np.random.default_rng(13)
+    W = jnp.asarray(rng.standard_normal((48, 96)))
+    L = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, superblocks=superblocks,
+        interpret=True, panel="block",
+    )
+    np.testing.assert_allclose(L @ L.T, W @ W.T, rtol=1e-10, atol=1e-10)
+    assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L), 1)))) == 0.0
+
+
 @pytest.mark.parametrize("superblocks", [1, 2, 3])
 def test_lq_scan_superblocks_match_unrolled(superblocks):
     """The scan-bodied sweep (superblocks < block count: lax.scan bodies,
@@ -244,6 +278,45 @@ def test_lq_scan_superblocks_match_unrolled(superblocks):
     # identical algorithm, identical roundoff: factors match exactly-ish
     np.testing.assert_allclose(L_scan, L_unrolled, rtol=1e-12, atol=1e-12)
     assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_scan), 1)))) == 0.0
+
+
+def test_legacy_gain_hook_contract_matches_blocks_path():
+    """A factorization hook WITHOUT a ``.blocks`` attribute takes the legacy
+    explicit-gain fallback (K @ z); hooks with ``.blocks`` use the shared
+    whitened residual (L21 @ (Sl^{-1} z)). Same math, same step results."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white as white_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.2)
+    solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    state = solver.initialize(heat)
+    mean, cov = state.y.mean, state.y.cov_sqrtm
+    dt = jnp.asarray(0.05, mean.dtype)
+
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    assert hasattr(hook, "blocks")
+
+    def legacy_hook(*args):  # same factorization, no .blocks attribute
+        return hook(*args)
+
+    out_blocks = white_module.white_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=True, factorization=hook,
+    )
+    out_legacy = white_module.white_attempt_step(
+        solver._cache, mean, cov, dt, dt, num_derivatives=2, f=None, df=None,
+        linear=True, fused=True, factorization=legacy_hook,
+    )
+    np.testing.assert_allclose(out_legacy[0], out_blocks[0], rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(out_legacy[1], out_blocks[1], rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(out_legacy[4], out_blocks[4], rtol=1e-10)
 
 
 def test_latent_two_qr_routing_through_hook():
