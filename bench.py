@@ -36,11 +36,12 @@ import sys
 import time
 
 # Measured on TPU v5e (single chip, f32 end-to-end, forced-completion
-# timing): N=512 -> 218-246 steps/s with the Pallas blocked Householder LQ
-# (157-175x the CPU-f64 oracle across runs; 161 steps/s with XLA's QR);
-# N=1e4 (PNMOL_BENCH_N=10000 PNMOL_BENCH_NU=1) -> 0.263 steps/s at 678x
-# the projected CPU-f64 oracle — the BASELINE.md metric-of-record point.
-# See docs/SCALE.md for the full ladder and the 2-D/3-D/latent families.
+# timing, relay floor amortized): N=512 -> 361 steps/s with the Pallas
+# blocked Householder LQ (block panels, gain-free step) at 227.7x the
+# CPU-f64 oracle; N=1e4 (PNMOL_BENCH_N=10000 PNMOL_BENCH_NU=1) -> 0.263
+# steps/s at 678x the projected CPU-f64 oracle — the BASELINE.md
+# metric-of-record point. See docs/SCALE.md for the full ladder and the
+# 2-D/3-D/latent families.
 N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 # The axon relay charges a FIXED ~72 ms roundtrip per jitted execution
 # regardless of how much device work it contains (measured: a trivial scan
