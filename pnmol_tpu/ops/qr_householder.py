@@ -392,10 +392,12 @@ def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
 
         w = lv_out[:]  # (leaf, cols)
         s = jnp.sum(w * v, axis=1, keepdims=True)  # (leaf, 1) lane reduction
-        upd = w - (tau * s) * v
-        row_k_new = jnp.where(d_eq, beta, jnp.where(d_gt, x * inv_denom, x))
-        lv_out[:] = jnp.where(
-            row_ids > k, upd, jnp.where(row_ids == k, row_k_new, w)
+        # gated rank-1 update (tau for rows > k, else 0): one fused FMA pass
+        # instead of FMA + full-slab select; row k overwritten separately
+        gate = jnp.where(row_ids > k, tau, zero)  # (leaf, 1)
+        lv_out[:] = w - (gate * s) * v
+        lv_out[k : k + 1, :] = jnp.where(
+            d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
         )
 
         # T^T recurrence (row k of T^T): -tau * z^T T^T with z = s[:k];
@@ -511,8 +513,6 @@ def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
     row_ids_leaf = jax.lax.broadcasted_iota(jnp.int32, (leaf, 1), 0)
-    leaf_lane = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 1)
-    leaf_row = jax.lax.broadcasted_iota(jnp.int32, (leaf, cols), 0)
     t_rows = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
     t_lanes = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     one = jnp.asarray(1.0, dtype)
@@ -551,14 +551,13 @@ def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
 
             w_leaf = lv_out[jl : jl + leaf, :]  # static slice
             s = jnp.sum(w_leaf * v, axis=1, keepdims=True)  # (leaf, 1)
-            upd = w_leaf - (tau * s) * v
-            row_k_new = jnp.where(
+            # rank-1 update with a per-row gate (tau for rows > k, else 0):
+            # one fused FMA pass over the slab instead of FMA + full-slab
+            # select; row k is then overwritten by a single-row write
+            gate = jnp.where(row_ids_leaf > k, tau, zero)  # (leaf, 1)
+            lv_out[jl : jl + leaf, :] = w_leaf - (gate * s) * v
+            lv_out[row : row + 1, :] = jnp.where(
                 d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
-            )
-            lv_out[jl : jl + leaf, :] = jnp.where(
-                row_ids_leaf > k,
-                upd,
-                jnp.where(row_ids_leaf == k, row_k_new, w_leaf),
             )
 
             # leaf-local T^T recurrence (row k): -tau * z^T T^T, z = s[:k]
@@ -644,7 +643,7 @@ def _block_lq(slab, off, *, leaf: int, block: int, interpret: bool = False,
         )
         slab_bytes = cols * block * slab.dtype.itemsize
         extra["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(110 * 2**20, 6 * slab_bytes + 2**22)
+            vmem_limit_bytes=min(110 * 2**20, 12 * slab_bytes + 2**23)
         )
     else:
         in_specs = [
@@ -690,7 +689,7 @@ def _blocked_lq_l_impl(
     superblocks: int = None,
     interpret: bool = False,
     precision: str = "highest",
-    panel: str = "block",
+    panel: str = "auto",
 ):
     """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
     (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
@@ -735,8 +734,18 @@ def _blocked_lq_l_impl(
         # issues block/leaf), so it stays unrolled 4x longer — past the
         # N=1e4 pre-array shapes, whose scan form costs ~6% extra sweep
         # FLOPs (full-span trailing updates between superblock shrinks).
-        calls_per_block = 1 if panel == "block" else block // leaf
-        superblocks = nb if nb * calls_per_block <= 512 else 8
+        cols_q0 = max(_roundup(m_pad, lane_quant), block)
+        first_is_block = panel == "block" or (
+            panel == "auto"
+            and block * cols_q0 * W.dtype.itemsize <= 4_718_592
+        )
+        calls_per_block = 1 if first_is_block else block // leaf
+        # unrolled while the sweep stays under ~320 kernel calls (keeps the
+        # N=2048 fused shape unrolled): known-safe for the relay's XLA
+        # compile helper (dies near ~1e3 calls) and for host compile time
+        # (~500-call unrolled graphs build for many minutes); the
+        # block-panel form reaches 4x larger matrices before the cap
+        superblocks = nb if nb * calls_per_block <= 320 else 8
     sb_blocks = max(1, -(-nb // max(1, superblocks)))
 
     work = W
@@ -756,13 +765,25 @@ def _blocked_lq_l_impl(
         S = blocks_here * block
         # kernel slab lanes quantized so superblocks share Mosaic shapes
         cols_q = max(_roundup(cols_w, lane_quant), block)
+        # Panel-form resolution: the block-panel kernel holds the whole
+        # (block, cols) slab in VMEM through an unrolled 128-column program
+        # whose live temporaries cost ~10x the slab — measured: a 2 MB slab
+        # compiles at a 16 MB scoped limit, a 31 MB slab demands 118 MB and
+        # exceeds the 128 MB chip VMEM (the N=1e4 init shape). "auto" uses
+        # the fused block kernel only where it fits with headroom and the
+        # leaf kernel (slab = leaf rows, 4x smaller) beyond.
+        slab_bytes = block * cols_q * W.dtype.itemsize
+        use_block = panel == "block" or (
+            panel == "auto" and slab_bytes <= 4_718_592  # 4.5 MB
+        )
 
-        def body(work, blk_idx, cols_w=cols_w, cols_q=cols_q):
+        def body(work, blk_idx, cols_w=cols_w, cols_q=cols_q,
+                 use_block=use_block):
             off = blk_idx * block
             zero_i = jnp.zeros((), off.dtype)
             blk = jax.lax.dynamic_slice(work, (off, zero_i), (block, cols_w))
 
-            if panel == "block":
+            if use_block:
                 # --- whole-panel Pallas kernel (leaf loops, intra-panel
                 # trailing updates, block-wide T^T — one launch per block) --
                 slab = blk
@@ -943,7 +964,7 @@ def _gain_solve_lower(L1, L21, precision):
 def make_householder_update_from_products(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "block",
+    panel: str = "auto",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
@@ -981,7 +1002,7 @@ def make_householder_update_from_products(
 def make_householder_propagate(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "block",
+    panel: str = "auto",
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
@@ -1002,7 +1023,7 @@ def make_householder_propagate(
 def make_householder_lq_factorization(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "block",
+    panel: str = "auto",
 ):
     """A ``factorization=`` hook running the pre-array factorization in the
     wide (LQ) orientation of :func:`blocked_lq_l` — the TPU-preferred form:
