@@ -739,13 +739,17 @@ def _blocked_lq_l_impl(
             panel == "auto"
             and block * cols_q0 * W.dtype.itemsize <= 4_718_592
         )
-        calls_per_block = 1 if first_is_block else block // leaf
-        # unrolled while the sweep stays under ~320 kernel calls (keeps the
-        # N=2048 fused shape unrolled): known-safe for the relay's XLA
-        # compile helper (dies near ~1e3 calls) and for host compile time
-        # (~500-call unrolled graphs build for many minutes); the
-        # block-panel form reaches 4x larger matrices before the cap
-        superblocks = nb if nb * calls_per_block <= 320 else 8
+        if first_is_block:
+            # block-panel form: one call per block AND slabs bounded at
+            # 4.5 MB (cols <= ~9k), so the unrolled graph stays small —
+            # cap on call count alone
+            superblocks = nb if nb <= 320 else 8
+        else:
+            # leaf form at large shapes: the relay's compile helper dies on
+            # big unrolled graphs (measured: 316 leaf calls at 40k-wide
+            # slabs SIGKILL it; ~512 calls at 4k-wide compile fine) — keep
+            # the proven shape bound from the round-3 first session
+            superblocks = nb if n_pad <= 16384 else 8
     sb_blocks = max(1, -(-nb // max(1, superblocks)))
 
     work = W
