@@ -111,3 +111,36 @@ def test_batched_variants(operands):
         assert jnp.allclose(covs[i], c)
         assert jnp.allclose(gains[i], k)
         assert jnp.allclose(innovs[i], s)
+
+
+def test_blocks_tier_reconstructs_gain_and_factors(operands):
+    """The *_blocks tier returns (posterior, L21, innovation) with the same
+    Grams as the gain tier and gain == L21 @ L1^{-1}; the step kernels'
+    mean update L21 @ (L1^{-1} z) equals K @ z."""
+    SC, SQ, H, R = operands
+    A = jax.random.normal(jax.random.PRNGKey(8), (SC.shape[0], SC.shape[0]))
+    ACl = A @ SC
+
+    cov_g, gain, innov_g = sqrt.fused_predict_update(H @ ACl, ACl, H @ SQ, SQ, R)
+    cov_b, L21, innov_b = sqrt.fused_predict_update_blocks(
+        H @ ACl, ACl, H @ SQ, SQ, R
+    )
+    assert jnp.allclose(cov_b @ cov_b.T, cov_g @ cov_g.T, atol=1e-10)
+    assert jnp.allclose(innov_b @ innov_b.T, innov_g @ innov_g.T, atol=1e-10)
+    gain_b = jax.scipy.linalg.solve_triangular(
+        innov_b, L21.T, lower=True, trans=1
+    ).T
+    assert jnp.allclose(gain_b, gain, atol=1e-9)
+
+    z = jax.random.normal(jax.random.PRNGKey(9), (H.shape[0],))
+    white = jax.scipy.linalg.solve_triangular(innov_b, z, lower=True)
+    assert jnp.allclose(L21 @ white, gain @ z, atol=1e-9)
+
+    # update-only variant
+    cov_g2, gain2, innov_g2 = sqrt.update_sqrt_from_products(H @ SC, SC, R)
+    cov_b2, L21_2, innov_b2 = sqrt.update_sqrt_from_products_blocks(
+        H @ SC, SC, R
+    )
+    assert jnp.allclose(cov_b2 @ cov_b2.T, cov_g2 @ cov_g2.T, atol=1e-10)
+    white2 = jax.scipy.linalg.solve_triangular(innov_b2, z, lower=True)
+    assert jnp.allclose(L21_2 @ white2, gain2 @ z, atol=1e-9)
