@@ -50,7 +50,19 @@ N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 # +2.2 ms/step of pure tunnel latency — a 2x error on millisecond steps.
 # Auto-scale the scan length so the floor is <3% of the measurement;
 # at large N the per-step cost is seconds and 32 steps amortize it fine.
-_auto_steps = 512 if N_POINTS <= 1024 else (128 if N_POINTS <= 2560 else 32)
+# ... and cap the scan length at huge N, where steps are seconds each: a
+# 32-step scan at N=1e4 is one ~2 min device execution, which the relay
+# infrastructure can kill mid-flight ("UNAVAILABLE: TPU device error" at
+# block_until_ready — observed twice in a row at N=1e4 while an 8-step
+# run of the same computation completed); the floor is irrelevant there.
+if N_POINTS <= 1024:
+    _auto_steps = 512
+elif N_POINTS <= 2560:
+    _auto_steps = 128
+elif N_POINTS <= 8192:
+    _auto_steps = 32
+else:
+    _auto_steps = 8
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", str(_auto_steps)))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))

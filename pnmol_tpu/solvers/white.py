@@ -314,8 +314,19 @@ def reduced_init_pde_update(blocks, HCsub, E_bc_nugget, z_pde, u0,
     n = len(blocks)
     dtype = HCsub.dtype
     Csub = jax.scipy.linalg.block_diag(blocks[0], blocks[1])
-    C0sub, kgain, _ = init_update(HCsub, Csub, E_bc_nugget)
-    corr = kgain @ z_pde  # (2d',)
+    # As in the step kernels, the gain is only ever applied to the residual
+    # VECTOR: updates exposing raw blocks skip the (m, m) x (2d' rhs) matrix
+    # gain solve (and its (2d', m) gain buffer — 0.8 GB at N=1e4) for one
+    # vector triangular solve.
+    blocks_fn = getattr(init_update, "blocks", None)
+    if blocks_fn is None and init_update is sqrt.update_sqrt_from_products:
+        blocks_fn = sqrt.update_sqrt_from_products_blocks
+    if blocks_fn is not None:
+        C0sub, L21, L1 = blocks_fn(HCsub, Csub, E_bc_nugget)
+        corr = L21 @ jax.scipy.linalg.solve_triangular(L1, z_pde, lower=True)
+    else:  # legacy contract (e.g. the distributed sharded update)
+        C0sub, kgain, _ = init_update(HCsub, Csub, E_bc_nugget)
+        corr = kgain @ z_pde  # (2d',)
     m0_dm = jnp.concatenate(
         [u0 - corr[:d_], -corr[d_:]]
         + [jnp.zeros((d_ * (n - 2),), dtype)]
