@@ -77,6 +77,15 @@ NU = int(os.environ.get("PNMOL_BENCH_NU", "2"))
 # Pallas blocked Householder LQ: same stability as XLA's QR (f64-oracle
 # verified, docs/SCALE.md) and 1.4x/1.8x faster at N=512/2048 on v5e.
 FACTORIZATION = os.environ.get("PNMOL_BENCH_FACTORIZATION", "householder")
+# Structured (banded/interleaved) propagate for the two-QR pipeline: the
+# propagate pre-array [A@Cl | Ql] is banded in the point-major layout
+# (docs/SCALE.md round 3). "auto" = interleaved whenever the two-QR
+# Householder split runs (the large-N configuration).
+_BAND_ENV = os.environ.get("PNMOL_BENCH_PROPAGATE_BAND", "auto")
+if _BAND_ENV == "auto":
+    PROPAGATE_BAND = None if FUSED else "interleaved"
+else:
+    PROPAGATE_BAND = None if _BAND_ENV in ("", "none") else _BAND_ENV
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. f32 work on the MXU runs
 # through multi-pass bf16, so MFU is reported against the bf16 peak.
@@ -126,6 +135,10 @@ def _child(mode: str) -> None:
         # resolves problem-scaled Pallas Householder hooks for BOTH the
         # init QR (the single-chip memory peak at large N) and the step
         solver_kwargs["factorization"] = "householder"
+        if not FUSED and PROPAGATE_BAND is not None:
+            # the solver re-triangularizes the init factor for "interleaved"
+            solver_kwargs["fused"] = False
+            solver_kwargs["propagate_band"] = PROPAGATE_BAND
     solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=NU,
@@ -156,6 +169,7 @@ def _child(mode: str) -> None:
                 cache, m, c, t, dt,
                 num_derivatives=NU, f=None, df=None, linear=True, fused=FUSED,
                 factorization=factorization,
+                propagate_band=None if FUSED else PROPAGATE_BAND,
             )
             return (m, c), None
 

@@ -26,7 +26,7 @@ def _sync(x):
 
 
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
-              solver_name="white"):
+              solver_name="white", propagate_band=None):
     import functools
 
     import pnmol_tpu
@@ -82,6 +82,8 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         num_derivatives=nu,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
         factorization=None if factorization == "xla" else factorization,
+        fused=fused,
+        propagate_band=propagate_band,
     )
     state = solver.initialize(heat)
     _sync(state.y.cov_sqrtm)
@@ -99,6 +101,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     attempt = functools.partial(
         attempt, num_derivatives=nu, f=None, df=None, linear=True,
         fused=fused, factorization=solver.factorization,
+        propagate_band=propagate_band,
     )
 
     # Free everything the step does not consume before it runs: the problem
@@ -150,6 +153,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         "dtype": dtype_str,
         "device": str(jax.devices()[0]),
         "fused_qr": fused,
+        "propagate_band": propagate_band,
         "steps_per_sec": round(steps_per_sec, 4),
         "build_seconds": round(build_s, 2),
         "init_seconds": round(init_s, 2),
@@ -216,12 +220,15 @@ if __name__ == "__main__":
                         default="white")
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--propagate-band", default=None,
+                        choices=("banded", "interleaved"))
     parser.add_argument("--input-scale", type=float, default=5.0)
     parser.add_argument("--factorization", choices=("xla", "householder"),
                         default="xla")
     args = parser.parse_args()
     if args.mode == "step":
         demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim,
-                  factorization=args.factorization, solver_name=args.solver)
+                  factorization=args.factorization, solver_name=args.solver,
+                  propagate_band=args.propagate_band)
     else:
         demo_gram(args.n, args.input_scale)

@@ -690,6 +690,7 @@ def _blocked_lq_l_impl(
     interpret: bool = False,
     precision: str = "highest",
     panel: str = "auto",
+    band=None,
 ):
     """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
     (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
@@ -713,6 +714,21 @@ def _blocked_lq_l_impl(
     ~sqrt(dtype_max) overflow and rows below ~sqrt(dtype_tiny) collapse to
     an identity reflector. The sqrt-Kalman factors this module serves are
     O(1)-scaled; rescale inputs before calling on general data.
+
+    ``band=(b0, slope)`` declares that row ``r`` of ``W`` has EXACT zeros in
+    every column ``>= b0 + slope * r`` (callers must guarantee it; wrong
+    declarations silently corrupt the factor). The sweep then windows each
+    superblock's slabs and trailing updates to the declared support — the
+    omitted columns would only ever receive exact-zero updates, so the
+    result matches the dense sweep to reduction-order roundoff while the
+    trailing-update FLOPs drop from O(rows^2 * cols) to
+    O(rows^2 * (b0 + slope * block)) early in the sweep. The two structured cases in this codebase: the propagate
+    pre-array ``[A@Cl | Ql]`` with ``Ql`` lower-triangular (``band=(D, 1)``,
+    no condition on ``Cl``), and its point-interleaved form (``band=(2n, 2)``
+    via :func:`make_householder_propagate`'s ``interleave_q``, which
+    additionally requires ``Cl`` lower-triangular). Band support survives
+    the sweep: a reflector from rows ``<= r`` touches only columns inside
+    row ``r``'s own declared support (slope >= 1).
     """
     Nr, M = W.shape
     if M < Nr:
@@ -767,8 +783,25 @@ def _blocked_lq_l_impl(
         cols_w = m_pad - done
         blocks_here = min(sb_blocks, rows_w // block)
         S = blocks_here * block
+        # Banded input: window this superblock's work to the declared row
+        # support (quantized so superblocks share Mosaic shapes). Shrinking
+        # by ``done`` rows+cols shifts the band intercept by (slope-1)*done.
+        if band is not None:
+            b0_cur = band[0] + (band[1] - 1) * done
+            win = min(
+                cols_w,
+                max(_roundup(b0_cur + band[1] * S, lane_quant), block),
+            )
+        else:
+            win = cols_w
+        if win < cols_w:
+            # columns beyond the window hold later rows' (untouched) support
+            work_r = jax.lax.slice(work, (0, win), (rows_w, cols_w))
+            work = jax.lax.slice(work, (0, 0), (rows_w, win))
+        else:
+            work_r = None
         # kernel slab lanes quantized so superblocks share Mosaic shapes
-        cols_q = max(_roundup(cols_w, lane_quant), block)
+        cols_q = max(_roundup(win, lane_quant), block)
         # Panel-form resolution: the block-panel kernel holds the whole
         # (block, cols) slab in VMEM through an unrolled 128-column program
         # whose live temporaries cost ~10x the slab — measured: a 2 MB slab
@@ -781,7 +814,7 @@ def _blocked_lq_l_impl(
             panel == "auto" and slab_bytes <= 4_718_592  # 4.5 MB
         )
 
-        def body(work, blk_idx, cols_w=cols_w, cols_q=cols_q,
+        def body(work, blk_idx, cols_w=win, cols_q=cols_q,
                  use_block=use_block):
             off = blk_idx * block
             zero_i = jnp.zeros((), off.dtype)
@@ -876,10 +909,23 @@ def _blocked_lq_l_impl(
             )
 
         # --- harvest the superblock's L strips, then shrink ---------------
-        top = jax.lax.slice(work, (0, 0), (S, rows_w))
+        # Finalized L rows have support <= their diagonal < S <= win, so a
+        # windowed sweep's missing top columns are exact zeros.
+        top_w = min(rows_w, win)
+        top = jax.lax.slice(work, (0, 0), (S, top_w))
+        if top_w < rows_w:
+            top = jnp.pad(top, ((0, 0), (0, rows_w - top_w)))
         if S < rows_w:
             below = jax.lax.slice(work, (S, 0), (rows_w, S))
-            new_work = jax.lax.slice(work, (S, S), (rows_w, cols_w))
+            new_work = jax.lax.slice(work, (S, S), (rows_w, win))
+            if work_r is not None:
+                new_work = jnp.concatenate(
+                    (
+                        new_work,
+                        jax.lax.slice(work_r, (S, 0), (rows_w, cols_w - win)),
+                    ),
+                    axis=1,
+                )
             new_work, top, below = jax.lax.optimization_barrier(
                 (new_work, top, below)
             )
@@ -906,7 +952,7 @@ blocked_lq_l = jax.jit(
     _blocked_lq_l_impl,
     static_argnames=(
         "leaf", "block", "lane_quant", "superblocks", "interpret",
-        "precision", "panel",
+        "precision", "panel", "band",
     ),
 )
 
@@ -978,7 +1024,7 @@ def make_householder_update_from_products(
     single-chip memory peak at large N) and valid anywhere the dense-tier
     function is."""
 
-    def blocks(HC, C, meascov_sqrtm):
+    def _blocks(HC, C, meascov_sqrtm, band):
         m, D = HC.shape
         top = jnp.concatenate((HC, meascov_sqrtm), axis=1)
         bottom = jnp.concatenate(
@@ -988,9 +1034,23 @@ def make_householder_update_from_products(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
-            panel=panel,
+            panel=panel, band=band,
         )
         return L[m:, m:], L[m:, :m], L[:m, :m]  # (L3, L21, L1)
+
+    def blocks(HC, C, meascov_sqrtm):
+        return _blocks(HC, C, meascov_sqrtm, None)
+
+    def blocks_banded(HC, C, meascov_sqrtm):
+        """As ``blocks``, with the measurement-noise factor declared
+        LOWER-TRIANGULAR (true throughout this framework: diagonal FD
+        ``E_sqrtm``, Cholesky collocation factors, diagonal/zero BC noise):
+        top row ``i`` of ``[[HC, R], [C, 0]]`` then ends at column ``D + i``
+        and the bottom rows end before ``D``, so the sweep runs with
+        ``band=(D+1, 1)`` — the m-column tail of every trailing update
+        disappears (~15% of the update FLOPs at m ~ D/2). No condition on
+        ``C``."""
+        return _blocks(HC, C, meascov_sqrtm, (HC.shape[1] + 1, 1))
 
     def update(HC, C, meascov_sqrtm):
         L3, L21, L1 = blocks(HC, C, meascov_sqrtm)
@@ -1000,6 +1060,7 @@ def make_householder_update_from_products(
     # raw factor blocks (no gain solve): the step-level mean update only
     # needs K @ z = L21 @ (L1^{-1} z) — see sqrt.update_sqrt_from_products_blocks
     update.blocks = blocks
+    update.blocks_banded = blocks_banded
     return update
 
 
@@ -1011,16 +1072,53 @@ def make_householder_propagate(
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
     factor of ``S1 S1^T + S2 S2^T`` from one LQ of ``[S1 S2]`` — no
-    transposes, L returned lower-triangular directly."""
+    transposes, L returned lower-triangular directly.
+
+    The returned callable carries two structured variants exploiting the
+    sqrt-Kalman propagate's triangular blocks (``band=`` in
+    :func:`blocked_lq_l`):
+
+    * ``propagate.banded(S1, S2)`` — requires ``S2`` lower-triangular
+      (always true for the point-major process-noise factor
+      ``kron(chol_gram, LQ1d)``): row ``r`` of ``[S1 | S2]`` ends at column
+      ``D + r``, cutting the dense sweep's trailing FLOPs by ~40%.
+    * ``propagate.interleaved(S1, S2, q)`` — additionally requires ``S1``
+      block-banded with ``q x q`` point blocks (true for ``A @ Cl`` in the
+      point-major layout with ``Cl`` lower-triangular, since
+      ``kron(I_d, A1d)`` is point-block-diagonal). Interleaving the two
+      factors' point blocks gives row support ``<= 2r + q`` — the LQ of an
+      effectively banded matrix, ~5x fewer FLOPs than the dense sweep.
+
+    Both perform the dense sweep's arithmetic on the touched columns (the
+    windowed-out columns only ever receive exact-zero updates; results agree
+    to reduction-order roundoff), verified in
+    tests/test_ops/test_qr_householder.py.
+    """
+    kw = dict(
+        leaf=leaf, block=block, lane_quant=lane_quant,
+        superblocks=superblocks, interpret=interpret, precision=precision,
+        panel=panel,
+    )
 
     def propagate(S1, S2):
+        return _blocked_lq_l_impl(jnp.concatenate((S1, S2), axis=1), **kw)
+
+    def banded(S1, S2):
+        # row r's last nonzero is the S2 diagonal at column D1 + r
         return _blocked_lq_l_impl(
-            jnp.concatenate((S1, S2), axis=1),
-            leaf=leaf, block=block, lane_quant=lane_quant,
-            superblocks=superblocks, interpret=interpret, precision=precision,
-            panel=panel,
+            jnp.concatenate((S1, S2), axis=1), band=(S1.shape[1] + 1, 1), **kw
         )
 
+    def interleaved(S1, S2, q):
+        D, D1 = S1.shape
+        d = D1 // q
+        M = jnp.concatenate(
+            (S1.reshape(D, d, q), S2.reshape(D, d, q)), axis=2
+        ).reshape(D, D1 + S2.shape[1])
+        return _blocked_lq_l_impl(M, band=(2 * q, 2), **kw)
+
+    propagate.banded = banded
+    propagate.interleaved = interleaved
     return propagate
 
 
@@ -1042,7 +1140,7 @@ def make_householder_lq_factorization(
     is the HBM peak and the two-QR split is what fits.
     """
 
-    def blocks(HACl, ACl, HQl, Ql, meascov_sqrtm):
+    def _blocks(HACl, ACl, HQl, Ql, meascov_sqrtm, band):
         m, D = HACl.shape
         # W = pre_array^T = [[HACl, HQl, E], [ACl, Ql, 0]]  ((m+D) x (2D+m))
         top = jnp.concatenate((HACl, HQl, meascov_sqrtm), axis=1)
@@ -1053,10 +1151,22 @@ def make_householder_lq_factorization(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
-            panel=panel,
+            panel=panel, band=band,
         )
         # (posterior L3, cross L21, innovation L1) — all lower, directly
         return L[m:, m:], L[m:, :m], L[:m, :m]
+
+    def blocks(HACl, ACl, HQl, Ql, meascov_sqrtm):
+        return _blocks(HACl, ACl, HQl, Ql, meascov_sqrtm, None)
+
+    def blocks_banded(HACl, ACl, HQl, Ql, meascov_sqrtm):
+        """Fused pre-array with the measurement-noise factor declared
+        LOWER-TRIANGULAR: top row ``i`` ends at column ``2D + i`` (E's
+        triangle), bottom rows before ``2D`` — band=(2D+1, 1) windows the
+        m-column tail out of every trailing update."""
+        return _blocks(
+            HACl, ACl, HQl, Ql, meascov_sqrtm, (2 * HACl.shape[1] + 1, 1)
+        )
 
     def factorization(HACl, ACl, HQl, Ql, meascov_sqrtm):
         L3, L21, L1 = blocks(HACl, ACl, HQl, Ql, meascov_sqrtm)
@@ -1068,6 +1178,19 @@ def make_householder_lq_factorization(
     # needs K @ z = L21 @ (L1^{-1} z), where L1^{-1} z is the whitened
     # residual the diffusion calibration computes anyway
     factorization.blocks = blocks
+    factorization.blocks_banded = blocks_banded
+
+    def tri(C):
+        """Lower-triangular factor with C's Gram (one LQ). Used by the
+        solvers to re-triangularize the init covariance factor before
+        enabling the interleaved banded propagate."""
+        return _blocked_lq_l_impl(
+            C, leaf=leaf, block=block, lane_quant=lane_quant,
+            superblocks=superblocks, interpret=interpret,
+            precision=precision, panel=panel,
+        )
+
+    factorization.tri = tri
 
     factorization.propagate = make_householder_propagate(
         leaf=leaf, block=block, lane_quant=lane_quant,

@@ -61,7 +61,8 @@ def _measurement_operator_latent(cache, G, p, n, d):
 
 def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
                         f: Optional[Callable], df: Optional[Callable],
-                        linear: bool, fused: bool = True, factorization=None):
+                        linear: bool, fused: bool = True, factorization=None,
+                        propagate_band=None):
     """Jitted latent-force EK1 attempt-step kernel.
 
     ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
@@ -79,16 +80,18 @@ def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
         linear=linear,
         fused=fused,
         factorization=factorization,
+        propagate_band=propagate_band,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_derivatives", "f", "df", "linear", "fused",
-                     "factorization"),
+                     "factorization", "propagate_band"),
 )
 def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
-                        f, df, linear, fused, factorization=None):
+                        f, df, linear, fused, factorization=None,
+                        propagate_band=None):
     """One latent-force EK1 attempt step (module-level jit: compilations
     shared across solver instances with the same shapes and statics)."""
     n = num_derivatives + 1
@@ -144,11 +147,26 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         # two-QR pipeline through the custom factorization — the latent
         # fused pre-array is 2x the white one in both dims, so its
         # double-buffered sweep hits the single-chip HBM wall first
-        # (docs/SCALE.md "N=1e4 single-chip")
-        Clp = factorization.propagate(ACl, cache.Ql)
+        # (docs/SCALE.md "N=1e4 single-chip"). propagate_band exploits the
+        # stacked Ql's lower-triangularity exactly as in the white step
+        # (kron(blockdiag(chol_gram, E_sqrtm), LQ1d) is lower-triangular in
+        # the 2d-point point-major layout).
+        prop = factorization.propagate
+        if propagate_band == "interleaved" and hasattr(prop, "interleaved"):
+            Clp = prop.interleaved(ACl, cache.Ql, n)
+        elif propagate_band is not None and hasattr(prop, "banded"):
+            Clp = prop.banded(ACl, cache.Ql)
+        else:
+            Clp = prop(ACl, cache.Ql)
         HClp = apply_H(Clp)
         upd = factorization.update_from_products
-        if hasattr(upd, "blocks"):
+        if propagate_band is not None and hasattr(upd, "blocks_banded"):
+            # the update pre-array is (D+1, 1)-banded whenever the
+            # measurement-noise factor is lower-triangular (always true for
+            # the discretization layer's E_sqrtm / R_sqrtm): ~15% fewer
+            # update FLOPs at m ~ D/2
+            Cl_new, L21, Sl = upd.blocks_banded(HClp, Clp, zeros_R)
+        elif hasattr(upd, "blocks"):
             Cl_new, L21, Sl = upd.blocks(HClp, Clp, zeros_R)
         else:
             Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
@@ -156,7 +174,13 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
             )
     elif factorization is not None:
         HACl = apply_H(ACl)
-        if hasattr(factorization, "blocks"):
+        if propagate_band is not None and hasattr(
+            factorization, "blocks_banded"
+        ):
+            Cl_new, L21, Sl = factorization.blocks_banded(
+                HACl, ACl, HQl, cache.Ql, zeros_R
+            )
+        elif hasattr(factorization, "blocks"):
             Cl_new, L21, Sl = factorization.blocks(
                 HACl, ACl, HQl, cache.Ql, zeros_R
             )
@@ -204,8 +228,12 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
 
     LINEAR: bool = True
 
-    def __init__(self, *args, factorization=None, **kwargs):
+    def __init__(self, *args, factorization=None, fused=True,
+                 propagate_band=None, **kwargs):
         super().__init__(*args, **kwargs)
+        # two-QR / banded-propagate controls, mirroring the white base
+        self.fused = fused
+        self.propagate_band = propagate_band
         self.ssm = None
         self.state_iwp = None
         self.lf_iwp = None
@@ -377,6 +405,18 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         m0, C0 = wrap_donate(_phase_qr)(HCsub, B0, nugget_pde, B1, z_pde, u0)
         del B0, HCsub, nugget_pde
 
+        if self.propagate_band == "interleaved" and not self.fused:
+            # lower-triangular state factor precondition of the interleaved
+            # banded propagate (see pnmol_tpu.solvers.white)
+            tri = getattr(self.factorization, "tri", None)
+            if tri is None:
+                def tri(C):
+                    return jnp.linalg.qr(C.T)[1].T
+            if d >= 2048:
+                donate = () if jax.default_backend() == "cpu" else (0,)
+                tri = jax.jit(tri, donate_argnums=donate)
+            C0 = tri(C0)
+
         # [Phase 4: step cache] stacked prior collapsed to a single IWP over
         # 2d points; Ql assembled last so it is never co-resident with the
         # init pre-array.
@@ -415,6 +455,8 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             df=df,
             linear=linear,
             factorization=self.factorization,
+            fused=self.fused,
+            propagate_band=self.propagate_band,
         )
 
         # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.

@@ -69,11 +69,11 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("num_derivatives", "f", "df", "linear", "fused",
-                     "factorization", "meascov_dt_scaled"),
+                     "factorization", "meascov_dt_scaled", "propagate_band"),
 )
 def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
                        f, df, linear, fused, factorization=None,
-                       meascov_dt_scaled=False):
+                       meascov_dt_scaled=False, propagate_band=None):
     """One white-noise EK1 attempt step (module-level jit: compilations are
     shared across solver instances with the same shapes and statics).
 
@@ -139,11 +139,32 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         factorization, "propagate"
     ):
         # two-QR pipeline through the custom factorization (memory-lighter:
-        # the fused pre-array is the HBM peak at the largest single-chip N)
-        Clp = factorization.propagate(ACl, cache.Ql)
+        # the fused pre-array is the HBM peak at the largest single-chip N).
+        # ``propagate_band`` exploits the propagate pre-array's triangular
+        # structure (Ql = kron(chol_gram, LQ1d) is lower-triangular in the
+        # point-major layout): "banded" windows the sweep to row support
+        # D + r (~40% fewer trailing FLOPs, no precondition on Cl);
+        # "interleaved" interleaves the point blocks of ACl and Ql for row
+        # support 2r + n (~5x fewer FLOPs) — valid ONLY when the state
+        # factor is lower-triangular, which the solver guarantees by
+        # re-triangularizing the init factor (every step's posterior factor
+        # is triangular by construction of the blocked LQ).
+        prop = factorization.propagate
+        if propagate_band == "interleaved" and hasattr(prop, "interleaved"):
+            Clp = prop.interleaved(ACl, cache.Ql, n)
+        elif propagate_band is not None and hasattr(prop, "banded"):
+            Clp = prop.banded(ACl, cache.Ql)
+        else:
+            Clp = prop(ACl, cache.Ql)
         HClp = apply_H(Clp)
         upd = factorization.update_from_products
-        if hasattr(upd, "blocks"):
+        if propagate_band is not None and hasattr(upd, "blocks_banded"):
+            # the update pre-array is (D+1, 1)-banded whenever the
+            # measurement-noise factor is lower-triangular (always true for
+            # the discretization layer's E_sqrtm / R_sqrtm): ~15% fewer
+            # update FLOPs at m ~ D/2
+            Cl_new, L21, Sl = upd.blocks_banded(HClp, Clp, E_bc)
+        elif hasattr(upd, "blocks"):
             Cl_new, L21, Sl = upd.blocks(HClp, Clp, E_bc)
         else:
             Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
@@ -155,7 +176,13 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
         # sqrt.fused_predict_update. Hooks carrying a ``.blocks`` attribute
         # skip their gain solve entirely.
         HACl = apply_H(ACl)
-        if hasattr(factorization, "blocks"):
+        if propagate_band is not None and hasattr(
+            factorization, "blocks_banded"
+        ):
+            Cl_new, L21, Sl = factorization.blocks_banded(
+                HACl, ACl, HQl, cache.Ql, E_bc
+            )
+        elif hasattr(factorization, "blocks"):
             Cl_new, L21, Sl = factorization.blocks(
                 HACl, ACl, HQl, cache.Ql, E_bc
             )
@@ -197,7 +224,7 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
                        linear: bool, fused: bool = True, factorization=None,
-                       meascov_dt_scaled: bool = False):
+                       meascov_dt_scaled: bool = False, propagate_band=None):
     """Bind a cache to the shared step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
@@ -221,7 +248,164 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         fused=fused,
         factorization=factorization,
         meascov_dt_scaled=meascov_dt_scaled,
+        propagate_band=propagate_band,
     )
+
+
+class SteadyStateCache(NamedTuple):
+    """Frozen factor blocks of the steady-state (stationary) white step."""
+
+    cov_inf: jnp.ndarray  # (D, D) stationary posterior factor (unprecond.)
+    L21: jnp.ndarray  # (D, m) stationary cross block (preconditioned)
+    Sl: jnp.ndarray  # (m, m) stationary innovation factor (preconditioned)
+    err_vec: jnp.ndarray  # (d,) dt * sqrt(diag(S_infty)) error-estimate base
+    iterations: jnp.ndarray  # () number of Riccati iterations run
+    delta: jnp.ndarray  # () final relative change of the Gram diagonal
+
+
+def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
+                                fused=True, factorization=None,
+                                propagate_band=None, meascov_dt_scaled=False,
+                                tol=1e-8, max_iters=200):
+    """Iterate the white step's covariance recursion to its fixed point.
+
+    For LINEAR problems at constant ``dt`` the measurement operator is
+    time-invariant, so the covariance half of the Kalman recursion is
+    data-independent: ``Cl_{k+1} = F(Cl_k)`` converges to the square-root
+    solution of the discrete algebraic Riccati equation. This runs that
+    recursion (the exact per-step pipeline — same QRs, same factorization
+    hook) inside one ``lax.while_loop`` until the covariance Gram diagonal
+    is stationary to ``tol`` (relative), then returns the frozen blocks the
+    mean-only steady-state step consumes.
+
+    A capability beyond the reference (which re-factorizes the identical
+    pre-array every step): after convergence each step costs O(D*m) matmul
+    work instead of O((D+m)^3) QR work. Classical steady-state Kalman
+    filtering; exactness is up to the convergence tolerance of the
+    transient (see docs/SCALE.md "Steady-state mode").
+    """
+    n = num_derivatives + 1
+    D = cov_sqrtm.shape[0]
+    d = D // n
+    m_dim = d + cache.B.shape[0]
+    p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+    E_bc = cache.E_bc_sqrtm
+    if meascov_dt_scaled:
+        E_bc = jnp.sqrt(dt) * E_bc
+    apply_H = _measurement_operator(cache, cache.L, p, n)
+
+    def cov_step(C_unpre):
+        """One covariance-only white step (mirrors white_attempt_step)."""
+        Cl = iwp.scale_stack(p_inv, C_unpre)
+        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+        if factorization is not None and not fused and hasattr(
+            factorization, "propagate"
+        ):
+            prop = factorization.propagate
+            if propagate_band == "interleaved" and hasattr(prop, "interleaved"):
+                Clp = prop.interleaved(ACl, cache.Ql, n)
+            elif propagate_band is not None and hasattr(prop, "banded"):
+                Clp = prop.banded(ACl, cache.Ql)
+            else:
+                Clp = prop(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            upd = factorization.update_from_products
+            if propagate_band is not None and hasattr(upd, "blocks_banded"):
+                Cl_new, L21, Sl = upd.blocks_banded(HClp, Clp, E_bc)
+            elif hasattr(upd, "blocks"):
+                Cl_new, L21, Sl = upd.blocks(HClp, Clp, E_bc)
+            else:
+                Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                    HClp, Clp, E_bc
+                )
+        elif factorization is not None:
+            HACl = apply_H(ACl)
+            HQl = apply_H(cache.Ql)
+            if hasattr(factorization, "blocks"):
+                Cl_new, L21, Sl = factorization.blocks(
+                    HACl, ACl, HQl, cache.Ql, E_bc
+                )
+            else:
+                Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql, E_bc)
+                L21 = K @ Sl  # back out the cross block: S_xz = K S = L21 Sl^T
+        elif fused:
+            HACl = apply_H(ACl)
+            HQl = apply_H(cache.Ql)
+            Cl_new, L21, Sl = sqrt.fused_predict_update_blocks(
+                HACl, ACl, HQl, cache.Ql, E_bc
+            )
+        else:
+            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                HClp, Clp, E_bc
+            )
+        return iwp.scale_stack(p, Cl_new), L21, Sl
+
+    def body(carry):
+        C, _, _, it, _ = carry
+        C_new, L21, Sl = cov_step(C)
+        diag_old = jnp.sum(C * C, axis=1)
+        diag_new = jnp.sum(C_new * C_new, axis=1)
+        delta = jnp.max(jnp.abs(diag_new - diag_old)) / (
+            jnp.max(diag_new) + jnp.finfo(C.dtype).tiny
+        )
+        return C_new, L21, Sl, it + 1, delta
+
+    def cond(carry):
+        _, _, _, it, delta = carry
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_or(it < 2, delta >= tol))
+
+    dtype = cov_sqrtm.dtype
+    init = (
+        cov_sqrtm,
+        jnp.zeros((D, m_dim), dtype),
+        jnp.zeros((m_dim, m_dim), dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    C_inf, L21, Sl, iters, delta = jax.lax.while_loop(cond, body, init)
+
+    HQl = apply_H(cache.Ql)
+    S = HQl @ HQl.T + E_bc @ E_bc.T
+    err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
+    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, err_vec=err_vec,
+                            iterations=iters, delta=delta)
+
+
+def make_steady_state_white_step(*, cache: WhiteSolverCache,
+                                 steady: SteadyStateCache,
+                                 num_derivatives: int):
+    """Mean-only white step with frozen stationary factors.
+
+    Same ``(mean, cov, t_next, dt) -> (mean, cov, error, reference,
+    diffusion_sq)`` contract as :func:`make_white_step_fn`; the covariance
+    argument passes through unchanged (callers seed the solve with
+    ``steady.cov_inf``). Per-step cost: one (d, d) matvec for the residual,
+    one (m, m) vector triangular solve, one (D, m) matvec for the gain
+    application — O(D^2)-free.
+    """
+    n = num_derivatives + 1
+
+    def step(mean, cov, t_next, dt):
+        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+        M = mean * p_inv[:, None]
+        Mp = cache.A1d @ M
+        m_at = p[0] * Mp[0]
+        z = jnp.concatenate(
+            (p[1] * Mp[1] - cache.L @ m_at, cache.B @ m_at)
+        )
+        residual_white = jax.scipy.linalg.solve_triangular(
+            steady.Sl, z, lower=True
+        )
+        diffusion_sq = residual_white @ residual_white / z.shape[0]
+        m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
+        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+        error = steady.err_vec * jnp.sqrt(diffusion_sq)
+        return M_new, cov, error, jnp.abs(M_new[0]), diffusion_sq
+
+    return step
 
 
 def _evaluate_ode_dense(*, L, B, E_sqrtm, R_sqrtm, f, df, linear, E0, E1, m_flat, t):
@@ -418,9 +602,20 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     LINEAR: bool = True
 
     def __init__(self, *args, meascov_dt_scaled=False, factorization=None,
+                 fused=True, propagate_band=None, steady_state=False,
                  **kwargs):
         super().__init__(*args, **kwargs)
         self.meascov_dt_scaled = meascov_dt_scaled
+        # Steady-state (stationary) mode: for LINEAR problems with a
+        # Constant step rule, run the data-independent covariance recursion
+        # to its Riccati fixed point once at initialization and freeze it —
+        # every subsequent step is a mean-only O(D*m) update (classical
+        # steady-state Kalman filtering; a capability beyond the reference).
+        # True, or a dict with "tol" (default 1e-8) / "max_iters" (200).
+        # Approximation: the transient covariance (and the gain during it)
+        # is replaced by the stationary one; see docs/SCALE.md.
+        self.steady_state = steady_state
+        self.steady_cache = None
         self._init_update = None
         self._factorization_spec = factorization
         # the "householder" string resolves lazily in initialize(): the
@@ -428,6 +623,14 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         # same solver on a different-sized PDE must re-resolve them
         self._factorization_d = None
         self.factorization = None if factorization == "householder" else factorization
+        # two-QR pipeline controls: ``fused=False`` + a factorization hook
+        # runs predict and update as separate LQs (the memory-lighter large-N
+        # form); ``propagate_band`` ("banded" | "interleaved") additionally
+        # exploits the propagate pre-array's triangular structure — see
+        # white_attempt_step. "interleaved" makes initialize()
+        # re-triangularize the init factor (the validity precondition).
+        self.fused = fused
+        self.propagate_band = propagate_band
 
     @property
     def E0(self):
@@ -564,6 +767,21 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         )
         del C00, HCsub, E_bc_nugget
 
+        if self.propagate_band == "interleaved" and not self.fused:
+            # The interleaved banded propagate requires a LOWER-TRIANGULAR
+            # state factor in the point-major basis; the init factor keeps
+            # derivative-major columns (reduced_init_pde_update), so
+            # re-triangularize it once here — every subsequent posterior
+            # factor is triangular by construction of the update LQ.
+            tri = getattr(self.factorization, "tri", None)
+            if tri is None:
+                def tri(C):
+                    return jnp.linalg.qr(C.T)[1].T
+            if d >= 4096:
+                donate = () if jax.default_backend() == "cpu" else (0,)
+                tri = jax.jit(tri, donate_argnums=donate)
+            C0 = tri(C0)
+
         def _phase_aux(chol_gram, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
                 num_derivatives=num_derivatives,
@@ -593,7 +811,43 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             linear=self.LINEAR,
             meascov_dt_scaled=self.meascov_dt_scaled,
             factorization=self.factorization,
+            fused=self.fused,
+            propagate_band=self.propagate_band,
         )
+
+        if self.steady_state:
+            from pnmol_tpu.odetools import step as step_module
+
+            if not self.LINEAR:
+                raise ValueError(
+                    "steady_state mode requires a LINEAR solver: the "
+                    "covariance recursion is data-dependent for EK1-"
+                    "linearized problems."
+                )
+            if not isinstance(self.steprule, step_module.Constant):
+                raise ValueError(
+                    "steady_state mode requires a Constant step rule (the "
+                    "stationary factors are specific to one dt)."
+                )
+            opts = self.steady_state if isinstance(self.steady_state, dict) else {}
+            dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
+            converge = jax.jit(functools.partial(
+                converge_white_steady_state,
+                num_derivatives=self.num_derivatives,
+                fused=self.fused,
+                factorization=self.factorization,
+                propagate_band=self.propagate_band,
+                meascov_dt_scaled=self.meascov_dt_scaled,
+                tol=opts.get("tol", 1e-8),
+                max_iters=opts.get("max_iters", 200),
+            ))
+            self.steady_cache = converge(self._cache, C0, dt0)
+            C0 = self.steady_cache.cov_inf
+            self._step_fn = make_steady_state_white_step(
+                cache=self._cache,
+                steady=self.steady_cache,
+                num_derivatives=self.num_derivatives,
+            )
 
         y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
         return pdefilter.PDEFilterState(

@@ -353,3 +353,174 @@ def test_latent_two_qr_routing_through_hook():
         rtol=1e-9, atol=1e-11,
     )
     np.testing.assert_allclose(out_two[4], out_ref[4], rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Banded sweeps (band= declared row support)
+# ---------------------------------------------------------------------------
+
+
+def _banded_random(rows, cols, b0, slope, rng):
+    W = rng.standard_normal((rows, cols))
+    col = np.arange(cols)[None, :]
+    row = np.arange(rows)[:, None]
+    W[col >= b0 + slope * row] = 0.0
+    return jnp.asarray(W)
+
+
+@pytest.mark.parametrize(
+    "band,shape,superblocks",
+    [
+        ((9, 1), (48, 80), None),
+        ((6, 2), (48, 112), None),
+        ((6, 2), (48, 112), 3),
+        ((17, 1), (40, 64), 99),
+        ((33, 1), (48, 48), None),  # window clipped to full width
+    ],
+    ids=str,
+)
+def test_lq_banded_matches_dense(band, shape, superblocks):
+    """band= performs the identical arithmetic on the touched columns: the
+    windowed-out columns only ever receive exact-zero updates (results agree
+    to reduction-order roundoff; slab widths differ)."""
+    rng = np.random.default_rng(7)
+    W = _banded_random(shape[0], shape[1], band[0], band[1], rng)
+    kw = dict(
+        leaf=8, block=16, lane_quant=32, interpret=True,
+        superblocks=superblocks,
+    )
+    L_banded = qh.blocked_lq_l(W, band=band, **kw)
+    L_dense = qh.blocked_lq_l(W, **kw)
+    # identical up to reduction-order roundoff (slab widths differ)
+    np.testing.assert_allclose(L_banded, L_dense, rtol=0, atol=1e-13)
+
+
+def test_propagate_banded_and_interleaved_match_gram():
+    """The structured propagate variants on realistic sqrt-Kalman blocks:
+    Ql lower-triangular (point-major kron of Choleskys), ACl the
+    point-block-diagonal transition applied to a triangular factor."""
+    from pnmol_tpu.ops import iwp
+
+    rng = np.random.default_rng(11)
+    d, n = 11, 3
+    D = d * n
+    Cl = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+    A1d = jnp.asarray(rng.standard_normal((n, n)))
+    ACl = iwp.apply_stack_matrix(A1d, Cl)
+    Ql = jnp.asarray(np.tril(rng.standard_normal((D, D))))
+
+    prop = qh.make_householder_propagate(
+        leaf=8, block=16, lane_quant=32, interpret=True
+    )
+    ref = prop(ACl, Ql)
+    got_banded = prop.banded(ACl, Ql)
+    got_inter = prop.interleaved(ACl, Ql, n)
+
+    # banded is the SAME pre-array, windowed: identical factor up to
+    # reduction-order roundoff
+    np.testing.assert_allclose(got_banded, ref, rtol=0, atol=1e-13)
+    # interleaved permutes pre-array columns: same Gram, triangular factor
+    gram = ACl @ ACl.T + Ql @ Ql.T
+    np.testing.assert_allclose(
+        got_inter @ got_inter.T, gram, rtol=1e-10, atol=1e-10
+    )
+    assert float(jnp.max(jnp.abs(jnp.triu(got_inter, 1)))) == 0.0
+
+
+@pytest.mark.parametrize("mode", ["banded", "interleaved"])
+def test_white_solve_propagate_band_matches_default(mode):
+    """Full white solve through the two-QR pipeline with the structured
+    propagate (banded / interleaved) == the default fused solve: same means,
+    same covariance Grams, same calibrated diffusion. The interleaved mode
+    also exercises initialize()'s factor re-triangularization."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.1, tmax=0.15)
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    ref_solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    band_solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.05),
+        factorization=hook, fused=False, propagate_band=mode,
+    )
+    sol_ref = ref_solver.solve(heat)
+    sol_band = band_solver.solve(heat)
+    np.testing.assert_allclose(sol_band.mean, sol_ref.mean, rtol=1e-8,
+                               atol=1e-10)
+    grams_ref = jnp.einsum("kij,klj->kil", sol_ref.cov_sqrtm, sol_ref.cov_sqrtm)
+    grams_band = jnp.einsum(
+        "kij,klj->kil", sol_band.cov_sqrtm, sol_band.cov_sqrtm
+    )
+    np.testing.assert_allclose(grams_band, grams_ref, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(
+        sol_band.diffusion_squared_calibrated,
+        sol_ref.diffusion_squared_calibrated, rtol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("mode", ["banded", "interleaved"])
+def test_latent_solve_propagate_band_matches_default(mode):
+    """Latent-force solve through the structured propagate == default fused
+    solve (the stacked Ql = kron(blockdiag(chol_gram, E_sqrtm), LQ1d) is
+    lower-triangular in the 2d-point point-major layout)."""
+    import pnmol_tpu
+    from pnmol_tpu.odetools import step as step_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=0.2, tmax=0.1)
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    ref_solver = pnmol_tpu.latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(dt=0.05)
+    )
+    band_solver = pnmol_tpu.latent.LinearLatentForceEK1(
+        steprule=step_module.Constant(dt=0.05),
+        factorization=hook, fused=False, propagate_band=mode,
+    )
+    sol_ref = ref_solver.solve(heat)
+    sol_band = band_solver.solve(heat)
+    np.testing.assert_allclose(sol_band.mean, sol_ref.mean, rtol=1e-8,
+                               atol=1e-10)
+    grams_ref = jnp.einsum("kij,klj->kil", sol_ref.cov_sqrtm, sol_ref.cov_sqrtm)
+    grams_band = jnp.einsum(
+        "kij,klj->kil", sol_band.cov_sqrtm, sol_band.cov_sqrtm
+    )
+    np.testing.assert_allclose(grams_band, grams_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_update_blocks_banded_matches_dense():
+    """blocks_banded == blocks whenever the measurement-noise factor is
+    lower-triangular (the framework invariant it declares)."""
+    rng = np.random.default_rng(3)
+    m, D = 10, 24
+    HC = jnp.asarray(rng.standard_normal((m, D)))
+    C = jnp.asarray(rng.standard_normal((D, D)))  # no condition on C
+    R = jnp.asarray(np.tril(rng.standard_normal((m, m))))
+    upd = qh.make_householder_update_from_products(
+        leaf=8, block=16, lane_quant=32, interpret=True
+    )
+    ref = upd.blocks(HC, C, R)
+    got = upd.blocks_banded(HC, C, R)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)
+
+
+def test_fused_blocks_banded_matches_dense():
+    rng = np.random.default_rng(4)
+    m, D = 9, 21
+    HACl = jnp.asarray(rng.standard_normal((m, D)))
+    ACl = jnp.asarray(rng.standard_normal((D, D)))
+    HQl = jnp.asarray(rng.standard_normal((m, D)))
+    Ql = jnp.asarray(rng.standard_normal((D, D)))
+    E = jnp.asarray(np.tril(rng.standard_normal((m, m))))
+    fact = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=32, interpret=True
+    )
+    ref = fact.blocks(HACl, ACl, HQl, Ql, E)
+    got = fact.blocks_banded(HACl, ACl, HQl, Ql, E)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)

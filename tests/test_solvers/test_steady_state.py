@@ -1,0 +1,135 @@
+"""Steady-state (stationary) white-solver mode.
+
+For LINEAR problems at constant dt the covariance half of the Kalman
+recursion is data-independent, so it converges to the square-root solution
+of the discrete algebraic Riccati equation; the solver then freezes those
+factors and every step is a mean-only O(D*m) update. A capability beyond
+the reference (which re-factorizes the identical pre-array every step —
+``/root/reference/src/pnmol/white.py:96-146``). These tests pin:
+
+* the fixed point really is a fixed point of the exact per-step recursion,
+* the frozen-gain mean recursion tracks the full solver after the
+  covariance transient has died out,
+* the guard rails (LINEAR-only, Constant-rule-only).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnmol_tpu import kernels
+from pnmol_tpu.models import examples
+from pnmol_tpu.odetools import step
+from pnmol_tpu.solvers import white
+
+
+@pytest.fixture(scope="module")
+def heat():
+    return examples.heat_1d_discretized(dx=0.1, tmax=2.0)
+
+
+def _solver(**kw):
+    return white.LinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        **kw,
+    )
+
+
+def test_converged_factors_are_a_fixed_point(heat):
+    solver = _solver(steady_state=True)
+    solver.initialize(heat)
+    steady = solver.steady_cache
+    assert int(steady.iterations) < 200  # converged before the cap
+    assert float(steady.delta) < 1e-8
+
+    # One more exact covariance step from the fixed point must reproduce
+    # the stationary Gram (the factor itself is only unique up to
+    # right-rotations).
+    again = white.converge_white_steady_state(
+        solver._cache, steady.cov_inf, jnp.asarray(0.05, steady.cov_inf.dtype),
+        num_derivatives=solver.num_derivatives, max_iters=1,
+    )
+    np.testing.assert_allclose(
+        again.cov_inf @ again.cov_inf.T,
+        steady.cov_inf @ steady.cov_inf.T,
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_steady_solve_tracks_full_solver(heat):
+    sol_full = _solver().solve(heat)
+    steady_solver = _solver(steady_state=True)
+    sol_steady = steady_solver.solve(heat)
+
+    # Identical time grid; the mean recursions differ only while the full
+    # solver's covariance transient (and hence its gain) differs from the
+    # stationary one — by tmax the trajectories must have locked together.
+    np.testing.assert_allclose(np.asarray(sol_steady.t),
+                               np.asarray(sol_full.t))
+    np.testing.assert_allclose(
+        sol_steady.mean[-1], sol_full.mean[-1], rtol=5e-3, atol=1e-6
+    )
+    # ... and the discrepancy must SHRINK as the transient dies out.
+    mid, end = len(sol_full.t) // 3, -1
+    err_mid = float(jnp.max(jnp.abs(sol_steady.mean[mid] - sol_full.mean[mid])))
+    err_end = float(jnp.max(jnp.abs(sol_steady.mean[end] - sol_full.mean[end])))
+    assert err_end <= err_mid + 1e-12
+
+    # Covariance passes through frozen: every stored factor is cov_inf (up
+    # to the driver's final calibration rescale).
+    steady = steady_solver.steady_cache
+    gram_inf = np.asarray(steady.cov_inf @ steady.cov_inf.T)
+    gram_last = np.asarray(
+        sol_steady.cov_sqrtm[-1] @ sol_steady.cov_sqrtm[-1].T
+    )
+    scale = gram_last.ravel() @ gram_inf.ravel() / (
+        gram_inf.ravel() @ gram_inf.ravel()
+    )
+    np.testing.assert_allclose(gram_last, scale * gram_inf,
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_steady_state_through_two_qr_householder_hook(heat):
+    from pnmol_tpu.ops import qr_householder as qh
+
+    hook = qh.make_householder_lq_factorization(
+        leaf=8, block=16, lane_quant=64, interpret=True
+    )
+    ref = _solver(steady_state=True)
+    ref.initialize(heat)
+    hooked = _solver(steady_state=True, factorization=hook, fused=False,
+                     propagate_band="interleaved")
+    hooked.initialize(heat)
+    np.testing.assert_allclose(
+        hooked.steady_cache.cov_inf @ hooked.steady_cache.cov_inf.T,
+        ref.steady_cache.cov_inf @ ref.steady_cache.cov_inf.T,
+        rtol=1e-6, atol=1e-9,
+    )
+    # the factor itself only up to row signs (QR sign freedom)
+    np.testing.assert_allclose(
+        hooked.steady_cache.Sl @ hooked.steady_cache.Sl.T,
+        ref.steady_cache.Sl @ ref.steady_cache.Sl.T,
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_steady_state_rejects_adaptive_rule(heat):
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step.Adaptive(abstol=1e-3, reltol=1e-3),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    with pytest.raises(ValueError, match="Constant"):
+        solver.initialize(heat)
+
+
+def test_steady_state_rejects_nonlinear(heat):
+    spruce = examples.spruce_budworm_1d_discretized(dx=0.2, tmax=0.5)
+    solver = white.SemiLinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    with pytest.raises(ValueError, match="LINEAR"):
+        solver.initialize(spruce)
