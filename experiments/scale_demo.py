@@ -26,7 +26,7 @@ def _sync(x):
 
 
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
-              solver_name="white", propagate_band=None):
+              solver_name="white", propagate_band=None, steady_state=False):
     import functools
 
     import pnmol_tpu
@@ -77,6 +77,11 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         if solver_name == "white"
         else pnmol_tpu.latent.LinearLatentForceEK1
     )
+    solver_kwargs = {}
+    if steady_state:
+        if solver_name != "white":
+            raise SystemExit("--steady-state: white solver only")
+        solver_kwargs["steady_state"] = True
     solver = solver_cls(
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=nu,
@@ -84,10 +89,17 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         factorization=None if factorization == "xla" else factorization,
         fused=fused,
         propagate_band=propagate_band,
+        **solver_kwargs,
     )
     state = solver.initialize(heat)
     _sync(state.y.cov_sqrtm)
     init_s = time.perf_counter() - t0
+    steady_iters = (
+        int(solver.steady_cache.iterations) if steady_state else None
+    )
+    steady_delta = (
+        float(solver.steady_cache.delta) if steady_state else None
+    )
 
     cache = solver._cache
     mean, cov = state.y.mean, state.y.cov_sqrtm
@@ -103,6 +115,16 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         fused=fused, factorization=solver.factorization,
         propagate_band=propagate_band,
     )
+    if steady_state:
+        # mean-only stationary step (no QR in the time loop); the frozen
+        # factor blocks ride in the closure, the (D, D) factor stays put
+        steady_fn = white_module.make_steady_state_white_step(
+            cache=solver._cache, steady=solver.steady_cache,
+            num_derivatives=nu,
+        )
+
+        def attempt(cache, m, c, t, dt, _fn=steady_fn):
+            return _fn(m, c, t, dt)
 
     # Free everything the step does not consume before it runs: the problem
     # (E_sqrtm etc.), the solver (its IWP holds the (d, d) Gram factor), and
@@ -154,6 +176,9 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         "device": str(jax.devices()[0]),
         "fused_qr": fused,
         "propagate_band": propagate_band,
+        "steady_state": steady_state,
+        "steady_riccati_iterations": steady_iters,
+        "steady_riccati_delta": steady_delta,
         "steps_per_sec": round(steps_per_sec, 4),
         "build_seconds": round(build_s, 2),
         "init_seconds": round(init_s, 2),
@@ -222,6 +247,9 @@ if __name__ == "__main__":
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--propagate-band", default=None,
                         choices=("banded", "interleaved"))
+    parser.add_argument("--steady-state", action="store_true",
+                        help="freeze the Riccati fixed point at init; "
+                             "mean-only steps (white + linear only)")
     parser.add_argument("--input-scale", type=float, default=5.0)
     parser.add_argument("--factorization", choices=("xla", "householder"),
                         default="xla")
@@ -229,6 +257,7 @@ if __name__ == "__main__":
     if args.mode == "step":
         demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim,
                   factorization=args.factorization, solver_name=args.solver,
-                  propagate_band=args.propagate_band)
+                  propagate_band=args.propagate_band,
+                  steady_state=args.steady_state)
     else:
         demo_gram(args.n, args.input_scale)

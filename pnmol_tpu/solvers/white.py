@@ -831,6 +831,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 )
             opts = self.steady_state if isinstance(self.steady_state, dict) else {}
             dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
+            # dtype-aware default tolerance: 1e-8 is below f32 resolution of
+            # the Gram diagonal, so an f32 run would always burn max_iters
+            default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
             converge = jax.jit(functools.partial(
                 converge_white_steady_state,
                 num_derivatives=self.num_derivatives,
@@ -838,7 +841,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 factorization=self.factorization,
                 propagate_band=self.propagate_band,
                 meascov_dt_scaled=self.meascov_dt_scaled,
-                tol=opts.get("tol", 1e-8),
+                tol=opts.get("tol", default_tol),
                 max_iters=opts.get("max_iters", 200),
             ))
             self.steady_cache = converge(self._cache, C0, dt0)
