@@ -79,8 +79,6 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     )
     solver_kwargs = {}
     if steady_state:
-        if solver_name != "white":
-            raise SystemExit("--steady-state: white solver only")
         solver_kwargs["steady_state"] = True
     solver = solver_cls(
         steprule=step_module.Constant(dt=1e-3),
@@ -118,7 +116,12 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     if steady_state:
         # mean-only stationary step (no QR in the time loop); the frozen
         # factor blocks ride in the closure, the (D, D) factor stays put
-        steady_fn = white_module.make_steady_state_white_step(
+        make_steady = (
+            white_module.make_steady_state_white_step
+            if solver_name == "white"
+            else latent_module.make_steady_state_latent_step
+        )
+        steady_fn = make_steady(
             cache=solver._cache, steady=solver.steady_cache,
             num_derivatives=nu,
         )
@@ -249,7 +252,7 @@ if __name__ == "__main__":
                         choices=("banded", "interleaved"))
     parser.add_argument("--steady-state", action="store_true",
                         help="freeze the Riccati fixed point at init; "
-                             "mean-only steps (white + linear only)")
+                             "mean-only steps (linear solvers only)")
     parser.add_argument("--input-scale", type=float, default=5.0)
     parser.add_argument("--factorization", choices=("xla", "householder"),
                         default="xla")

@@ -28,7 +28,7 @@ import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
 from pnmol_tpu.solvers import pdefilter
-from pnmol_tpu.solvers.white import structured_init_y0
+from pnmol_tpu.solvers.white import SteadyStateCache, structured_init_y0
 
 
 class LatentSolverCache(NamedTuple):
@@ -214,6 +214,149 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     return M_new, C_new, error, jnp.abs(M_new[0, :d]), diffusion_sq
 
 
+def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
+                                 fused=True, factorization=None,
+                                 propagate_band=None, tol=1e-8,
+                                 max_iters=200):
+    """Iterate the latent step's covariance recursion to its fixed point.
+
+    The latent analog of
+    :func:`pnmol_tpu.solvers.white.converge_white_steady_state`: for LINEAR
+    problems at constant ``dt`` the noise-free update's measurement operator
+    is time-invariant, so the covariance half of the stacked recursion is
+    data-independent and converges to the square-root solution of its
+    discrete algebraic Riccati equation. Runs the exact per-step covariance
+    pipeline (same QRs, same factorization hook) in one ``lax.while_loop``
+    until the Gram diagonal is stationary to ``tol`` (relative), and returns
+    the frozen blocks the mean-only step consumes. A capability beyond the
+    reference, which re-factorizes the identical (4D x 2D-shaped) pre-array
+    every step (``/root/reference/src/pnmol/latent.py:155-225``).
+    """
+    n = num_derivatives + 1
+    d = cache.L.shape[0]
+    D2 = cov_sqrtm.shape[0]  # stacked state dim: 2 * d * n
+    m_dim = d + cache.B.shape[0]
+    p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+    apply_H = _measurement_operator_latent(cache, cache.L, p, n, d)
+    zeros_R = jnp.zeros((m_dim, m_dim), dtype=cov_sqrtm.dtype)
+
+    def cov_step(C_unpre):
+        """One covariance-only latent step (mirrors latent_attempt_step)."""
+        Cl = iwp.scale_stack(p_inv, C_unpre)
+        ACl = iwp.apply_stack_matrix(cache.A1d, Cl)
+        if factorization is not None and not fused and hasattr(
+            factorization, "propagate"
+        ):
+            prop = factorization.propagate
+            if propagate_band == "interleaved" and hasattr(prop, "interleaved"):
+                Clp = prop.interleaved(ACl, cache.Ql, n)
+            elif propagate_band is not None and hasattr(prop, "banded"):
+                Clp = prop.banded(ACl, cache.Ql)
+            else:
+                Clp = prop(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            upd = factorization.update_from_products
+            if propagate_band is not None and hasattr(upd, "blocks_banded"):
+                Cl_new, L21, Sl = upd.blocks_banded(HClp, Clp, zeros_R)
+            elif hasattr(upd, "blocks"):
+                Cl_new, L21, Sl = upd.blocks(HClp, Clp, zeros_R)
+            else:
+                Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                    HClp, Clp, zeros_R
+                )
+        elif factorization is not None:
+            HACl = apply_H(ACl)
+            HQl = apply_H(cache.Ql)
+            if hasattr(factorization, "blocks"):
+                Cl_new, L21, Sl = factorization.blocks(
+                    HACl, ACl, HQl, cache.Ql, zeros_R
+                )
+            else:
+                Cl_new, K, Sl = factorization(HACl, ACl, HQl, cache.Ql,
+                                              zeros_R)
+                L21 = K @ Sl  # back out the cross block: S_xz = K S = L21 Sl^T
+        elif fused:
+            HACl = apply_H(ACl)
+            HQl = apply_H(cache.Ql)
+            Cl_new, L21, Sl = sqrt.fused_predict_update_blocks(
+                HACl, ACl, HQl, cache.Ql, zeros_R
+            )
+        else:
+            Clp = sqrt.propagate_cholesky_factor(ACl, cache.Ql)
+            HClp = apply_H(Clp)
+            Cl_new, L21, Sl = sqrt.update_sqrt_from_products_blocks(
+                HClp, Clp, zeros_R
+            )
+        return iwp.scale_stack(p, Cl_new), L21, Sl
+
+    def body(carry):
+        C, _, _, it, _ = carry
+        C_new, L21, Sl = cov_step(C)
+        diag_old = jnp.sum(C * C, axis=1)
+        diag_new = jnp.sum(C_new * C_new, axis=1)
+        delta = jnp.max(jnp.abs(diag_new - diag_old)) / (
+            jnp.max(diag_new) + jnp.finfo(C.dtype).tiny
+        )
+        return C_new, L21, Sl, it + 1, delta
+
+    def cond(carry):
+        _, _, _, it, delta = carry
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_or(it < 2, delta >= tol))
+
+    dtype = cov_sqrtm.dtype
+    init = (
+        cov_sqrtm,
+        jnp.zeros((D2, m_dim), dtype),
+        jnp.zeros((m_dim, m_dim), dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    C_inf, L21, Sl, iters, delta = jax.lax.while_loop(cond, body, init)
+
+    HQl = apply_H(cache.Ql)
+    S_err = HQl @ HQl.T
+    err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
+    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, err_vec=err_vec,
+                            iterations=iters, delta=delta)
+
+
+def make_steady_state_latent_step(*, cache: LatentSolverCache,
+                                  steady: SteadyStateCache,
+                                  num_derivatives: int):
+    """Mean-only latent step with frozen stationary factors.
+
+    Same ``(mean (n, 2d), cov, t_next, dt) -> (mean, cov, error, reference,
+    diffusion_sq)`` contract as :func:`make_latent_step_fn`; the covariance
+    argument passes through unchanged (callers seed the solve with
+    ``steady.cov_inf``). Per-step cost: one (d, d) matvec for the residual,
+    one (m, m) vector triangular solve, one (2D, m) matvec for the gain
+    application — no QR in the time loop.
+    """
+    n = num_derivatives + 1
+    d = cache.L.shape[0]
+
+    def step(mean, cov, t_next, dt):
+        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+        M = mean * p_inv[:, None]
+        Mp = cache.A1d @ M
+        state_at = p[0] * Mp[0, :d]
+        eps_at = p[0] * Mp[0, d:]
+        z = jnp.concatenate(
+            (p[1] * Mp[1, :d] - cache.L @ state_at - eps_at,
+             cache.B @ state_at)
+        )
+        residual_white = jax.scipy.linalg.solve_triangular(
+            steady.Sl, z, lower=True
+        )
+        diffusion_sq = residual_white @ residual_white / z.shape[0]
+        m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
+        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+        error = steady.err_vec * jnp.sqrt(diffusion_sq)
+        return M_new, cov, error, jnp.abs(M_new[0, :d]), diffusion_sq
+
+    return step
+
 
 class _LatentForceEK1Base(pdefilter.PDEFilter):
     """Shared initialization and plumbing of the latent-force solvers.
@@ -229,11 +372,15 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
     LINEAR: bool = True
 
     def __init__(self, *args, factorization=None, fused=True,
-                 propagate_band=None, **kwargs):
+                 propagate_band=None, steady_state=False, **kwargs):
         super().__init__(*args, **kwargs)
         # two-QR / banded-propagate controls, mirroring the white base
         self.fused = fused
         self.propagate_band = propagate_band
+        # Steady-state (Riccati fixed-point) mode, mirroring the white base:
+        # LINEAR + Constant-rule only; True, or a dict with "tol"/"max_iters".
+        self.steady_state = steady_state
+        self.steady_cache = None
         self.ssm = None
         self.state_iwp = None
         self.lf_iwp = None
@@ -458,6 +605,45 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             fused=self.fused,
             propagate_band=self.propagate_band,
         )
+
+        if self.steady_state:
+            from pnmol_tpu.odetools import step as step_module
+
+            if not self.LINEAR:
+                raise ValueError(
+                    "steady_state mode requires a LINEAR solver: the "
+                    "covariance recursion is data-dependent for EK1-"
+                    "linearized problems."
+                )
+            if not isinstance(self.steprule, step_module.Constant):
+                raise ValueError(
+                    "steady_state mode requires a Constant step rule (the "
+                    "stationary factors are specific to one dt)."
+                )
+            opts = (
+                self.steady_state
+                if isinstance(self.steady_state, dict)
+                else {}
+            )
+            dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
+            # dtype-aware default tolerance, as in the white base
+            default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
+            converge = jax.jit(functools.partial(
+                converge_latent_steady_state,
+                num_derivatives=num_derivatives,
+                fused=self.fused,
+                factorization=self.factorization,
+                propagate_band=self.propagate_band,
+                tol=opts.get("tol", default_tol),
+                max_iters=opts.get("max_iters", 200),
+            ))
+            self.steady_cache = converge(self._cache, C0, dt0)
+            C0 = self.steady_cache.cov_inf
+            self._step_fn = make_steady_state_latent_step(
+                cache=self._cache,
+                steady=self.steady_cache,
+                num_derivatives=num_derivatives,
+            )
 
         # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.
         m0_state, m0_latent = jnp.split(m0, 2)

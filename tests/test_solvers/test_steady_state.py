@@ -20,7 +20,7 @@ import pytest
 from pnmol_tpu import kernels
 from pnmol_tpu.models import examples
 from pnmol_tpu.odetools import step
-from pnmol_tpu.solvers import white
+from pnmol_tpu.solvers import latent, white
 
 
 @pytest.fixture(scope="module")
@@ -127,6 +127,127 @@ def test_steady_state_rejects_adaptive_rule(heat):
 def test_steady_state_rejects_nonlinear(heat):
     spruce = examples.spruce_budworm_1d_discretized(dx=0.2, tmax=0.5)
     solver = white.SemiLinearWhiteNoiseEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    with pytest.raises(ValueError, match="LINEAR"):
+        solver.initialize(spruce)
+
+
+# ---------------------------------------------------------------------------
+# Latent-force analog (same stationary-recursion argument: the noise-free
+# update's measurement operator is time-invariant for linear problems).
+# ---------------------------------------------------------------------------
+
+
+def _latent_solver(**kw):
+    return latent.LinearLatentForceEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        **kw,
+    )
+
+
+def test_latent_converged_factors_are_a_fixed_point(heat):
+    solver = _latent_solver(steady_state=True)
+    solver.initialize(heat)
+    steady = solver.steady_cache
+    assert int(steady.iterations) < 200
+    assert float(steady.delta) < 1e-8
+
+    again = latent.converge_latent_steady_state(
+        solver._cache, steady.cov_inf,
+        jnp.asarray(0.05, steady.cov_inf.dtype),
+        num_derivatives=solver.num_derivatives, max_iters=1,
+    )
+    np.testing.assert_allclose(
+        again.cov_inf @ again.cov_inf.T,
+        steady.cov_inf @ steady.cov_inf.T,
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_latent_steady_step_matches_full_step_at_fixed_point(heat):
+    # The exact correctness statement: seeded AT the stationary covariance,
+    # the full latent step's gain equals the frozen one (K = L21 Sl^{-1} is
+    # rotation-invariant), so the two mean recursions must agree to roundoff
+    # step for step. (Unlike the white-heat case, the latent transient —
+    # the epsilon half is a non-mean-reverting IWP — does not die out within
+    # a short solve, so a trajectory-level "locks by tmax" test would only
+    # measure the transient, not the mode's correctness.)
+    solver = _latent_solver(steady_state=True)
+    state0 = solver.initialize(heat)
+    steady = solver.steady_cache
+
+    full = _latent_solver()
+    full.initialize(heat)
+
+    mean_full = state0.y.mean
+    mean_steady = state0.y.mean
+    cov = steady.cov_inf
+    dt = jnp.asarray(0.05, mean_full.dtype)
+    t = jnp.asarray(heat.t0, mean_full.dtype)
+    for _ in range(8):
+        t = t + dt
+        mean_full, cov, _, _, diff_full = full._step_fn(
+            mean_full, cov, t, dt
+        )
+        mean_steady, _, _, _, diff_steady = solver._step_fn(
+            mean_steady, steady.cov_inf, t, dt
+        )
+        # agreement is bounded by the Riccati convergence tol (1e-8 on the
+        # Gram diagonal), accumulated over the steps — far below the
+        # 1e-1-magnitude transient mismatch this guards against
+        np.testing.assert_allclose(
+            np.asarray(mean_steady), np.asarray(mean_full),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(diff_steady), float(diff_full), rtol=1e-5, atol=1e-9
+        )
+
+
+def test_latent_steady_solve_transient_shrinks(heat):
+    sol_full = _latent_solver().solve(heat)
+    steady_solver = _latent_solver(steady_state=True)
+    sol_steady = steady_solver.solve(heat)
+
+    np.testing.assert_allclose(np.asarray(sol_steady.t),
+                               np.asarray(sol_full.t))
+    # The trajectories differ only through the gain transient; by tmax the
+    # discrepancy must be shrinking (the stationary gain is the full
+    # solver's own late-time gain).
+    mid, end = len(sol_full.t) // 3, -1
+    err_mid = float(jnp.max(jnp.abs(sol_steady.mean[mid] - sol_full.mean[mid])))
+    err_end = float(jnp.max(jnp.abs(sol_steady.mean[end] - sol_full.mean[end])))
+    assert err_end <= err_mid + 1e-12
+    # Covariance passes through frozen (up to the final calibration rescale).
+    steady = steady_solver.steady_cache
+    gram_inf = np.asarray(steady.cov_inf @ steady.cov_inf.T)
+    gram_last = np.asarray(
+        sol_steady.cov_sqrtm[-1] @ sol_steady.cov_sqrtm[-1].T
+    )
+    scale = gram_last.ravel() @ gram_inf.ravel() / (
+        gram_inf.ravel() @ gram_inf.ravel()
+    )
+    np.testing.assert_allclose(gram_last, scale * gram_inf,
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_latent_steady_state_rejects_adaptive_rule(heat):
+    solver = latent.LinearLatentForceEK1(
+        steprule=step.Adaptive(abstol=1e-3, reltol=1e-3),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    with pytest.raises(ValueError, match="Constant"):
+        solver.initialize(heat)
+
+
+def test_latent_steady_state_rejects_nonlinear():
+    spruce = examples.spruce_budworm_1d_discretized(dx=0.2, tmax=0.5)
+    solver = latent.SemiLinearLatentForceEK1(
         steprule=step.Constant(dt=0.05),
         spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
         steady_state=True,
