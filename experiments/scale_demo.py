@@ -26,7 +26,8 @@ def _sync(x):
 
 
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
-              solver_name="white", propagate_band=None, steady_state=False):
+              solver_name="white", propagate_band=None, steady_state=False,
+              steady_iters=None, steady_tol=None):
     import functools
 
     import pnmol_tpu
@@ -79,7 +80,12 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     )
     solver_kwargs = {}
     if steady_state:
-        solver_kwargs["steady_state"] = True
+        opts = {}
+        if steady_iters is not None:
+            opts["max_iters"] = steady_iters
+        if steady_tol is not None:
+            opts["tol"] = steady_tol
+        solver_kwargs["steady_state"] = opts or True
     solver = solver_cls(
         steprule=step_module.Constant(dt=1e-3),
         num_derivatives=nu,
@@ -253,6 +259,10 @@ if __name__ == "__main__":
     parser.add_argument("--steady-state", action="store_true",
                         help="freeze the Riccati fixed point at init; "
                              "mean-only steps (linear solvers only)")
+    parser.add_argument("--steady-iters", type=int, default=None,
+                        help="Riccati max_iters override (default 200)")
+    parser.add_argument("--steady-tol", type=float, default=None,
+                        help="Riccati stationarity tol override")
     parser.add_argument("--input-scale", type=float, default=5.0)
     parser.add_argument("--factorization", choices=("xla", "householder"),
                         default="xla")
@@ -261,6 +271,7 @@ if __name__ == "__main__":
         demo_step(args.n, args.nu, args.steps, args.fused, dim=args.dim,
                   factorization=args.factorization, solver_name=args.solver,
                   propagate_band=args.propagate_band,
-                  steady_state=args.steady_state)
+                  steady_state=args.steady_state,
+                  steady_iters=args.steady_iters, steady_tol=args.steady_tol)
     else:
         demo_gram(args.n, args.input_scale)

@@ -317,8 +317,11 @@ def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     HQl = apply_H(cache.Ql)
     S_err = HQl @ HQl.T
     err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
-    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, err_vec=err_vec,
-                            iterations=iters, delta=delta)
+    Sl_inv = jax.scipy.linalg.solve_triangular(
+        Sl, jnp.eye(Sl.shape[0], dtype=Sl.dtype), lower=True
+    )
+    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
+                            err_vec=err_vec, iterations=iters, delta=delta)
 
 
 def make_steady_state_latent_step(*, cache: LatentSolverCache,
@@ -346,9 +349,9 @@ def make_steady_state_latent_step(*, cache: LatentSolverCache,
             (p[1] * Mp[1, :d] - cache.L @ state_at - eps_at,
              cache.B @ state_at)
         )
-        residual_white = jax.scipy.linalg.solve_triangular(
-            steady.Sl, z, lower=True
-        )
+        # whiten with the precomputed inverse: a matvec keeps the step on
+        # the MXU; a vector trisolve is latency-bound on TPU
+        residual_white = steady.Sl_inv @ z
         diffusion_sq = residual_white @ residual_white / z.shape[0]
         m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
         M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]

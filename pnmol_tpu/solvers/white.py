@@ -258,6 +258,9 @@ class SteadyStateCache(NamedTuple):
     cov_inf: jnp.ndarray  # (D, D) stationary posterior factor (unprecond.)
     L21: jnp.ndarray  # (D, m) stationary cross block (preconditioned)
     Sl: jnp.ndarray  # (m, m) stationary innovation factor (preconditioned)
+    Sl_inv: jnp.ndarray  # (m, m) explicit inverse of Sl: the step whitens
+    # residuals with a matvec instead of a vector triangular solve (which
+    # is latency-bound on TPU); computed once, by one m-RHS trisolve
     err_vec: jnp.ndarray  # (d,) dt * sqrt(diag(S_infty)) error-estimate base
     iterations: jnp.ndarray  # () number of Riccati iterations run
     delta: jnp.ndarray  # () final relative change of the Gram diagonal
@@ -370,8 +373,11 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     HQl = apply_H(cache.Ql)
     S = HQl @ HQl.T + E_bc @ E_bc.T
     err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
-    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, err_vec=err_vec,
-                            iterations=iters, delta=delta)
+    Sl_inv = jax.scipy.linalg.solve_triangular(
+        Sl, jnp.eye(Sl.shape[0], dtype=Sl.dtype), lower=True
+    )
+    return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
+                            err_vec=err_vec, iterations=iters, delta=delta)
 
 
 def make_steady_state_white_step(*, cache: WhiteSolverCache,
@@ -396,9 +402,9 @@ def make_steady_state_white_step(*, cache: WhiteSolverCache,
         z = jnp.concatenate(
             (p[1] * Mp[1] - cache.L @ m_at, cache.B @ m_at)
         )
-        residual_white = jax.scipy.linalg.solve_triangular(
-            steady.Sl, z, lower=True
-        )
+        # whiten with the precomputed inverse: a matvec keeps the step on
+        # the MXU; a vector trisolve is latency-bound on TPU
+        residual_white = steady.Sl_inv @ z
         diffusion_sq = residual_white @ residual_white / z.shape[0]
         m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
         M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
