@@ -345,30 +345,35 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
             )
         return iwp.scale_stack(p, Cl_new), L21, Sl
 
+    # The while_loop carries ONLY the (D, D) factor: carrying (L21, Sl) too
+    # would double-buffer an extra (D, m) + (m, m) through every iteration —
+    # at N=1e4 that ~1.8 GB is the difference between fitting and OOM. The
+    # frozen blocks come from one extra cov_step AFTER convergence, which
+    # also pairs them with the converged factor itself rather than with the
+    # penultimate iterate.
     def body(carry):
-        C, _, _, it, _ = carry
-        C_new, L21, Sl = cov_step(C)
+        C, it, _ = carry
+        C_new, _, _ = cov_step(C)
         diag_old = jnp.sum(C * C, axis=1)
         diag_new = jnp.sum(C_new * C_new, axis=1)
         delta = jnp.max(jnp.abs(diag_new - diag_old)) / (
             jnp.max(diag_new) + jnp.finfo(C.dtype).tiny
         )
-        return C_new, L21, Sl, it + 1, delta
+        return C_new, it + 1, delta
 
     def cond(carry):
-        _, _, _, it, delta = carry
+        _, it, delta = carry
         return jnp.logical_and(it < max_iters,
                                jnp.logical_or(it < 2, delta >= tol))
 
     dtype = cov_sqrtm.dtype
     init = (
         cov_sqrtm,
-        jnp.zeros((D, m_dim), dtype),
-        jnp.zeros((m_dim, m_dim), dtype),
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, dtype),
     )
-    C_inf, L21, Sl, iters, delta = jax.lax.while_loop(cond, body, init)
+    C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
+    C_inf, L21, Sl = cov_step(C_conv)
 
     HQl = apply_H(cache.Ql)
     S = HQl @ HQl.T + E_bc @ E_bc.T
