@@ -318,9 +318,9 @@ def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     HQl = apply_H(cache.Ql)
     S_err = HQl @ HQl.T
     err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
-    Sl_inv = jax.scipy.linalg.solve_triangular(
-        Sl, jnp.eye(Sl.shape[0], dtype=Sl.dtype), lower=True
-    )
+    from pnmol_tpu.solvers.white import _triangular_inverse
+
+    Sl_inv = _triangular_inverse(Sl)
     return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
                             err_vec=err_vec, iterations=iters, delta=delta)
 

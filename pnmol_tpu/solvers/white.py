@@ -266,6 +266,22 @@ class SteadyStateCache(NamedTuple):
     delta: jnp.ndarray  # () final relative change of the Gram diagonal
 
 
+def _triangular_inverse(Sl):
+    """Explicit inverse of a lower-triangular factor (one m-RHS solve).
+
+    Large factors route through the blocked O(matrix)-memory substitution:
+    XLA's trisolve expander plans ~18 live (m, m) temporaries for wide RHS
+    (the round-3 N=1e4 wall — see ops/trisolve.py).
+    """
+    m = Sl.shape[0]
+    eye = jnp.eye(m, dtype=Sl.dtype)
+    if m >= 4096:
+        from pnmol_tpu.ops import trisolve
+
+        return trisolve.tri_solve_lower_blocked(Sl, eye)
+    return jax.scipy.linalg.solve_triangular(Sl, eye, lower=True)
+
+
 def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                                 fused=True, factorization=None,
                                 propagate_band=None, meascov_dt_scaled=False,
@@ -378,9 +394,7 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     HQl = apply_H(cache.Ql)
     S = HQl @ HQl.T + E_bc @ E_bc.T
     err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
-    Sl_inv = jax.scipy.linalg.solve_triangular(
-        Sl, jnp.eye(Sl.shape[0], dtype=Sl.dtype), lower=True
-    )
+    Sl_inv = _triangular_inverse(Sl)
     return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
