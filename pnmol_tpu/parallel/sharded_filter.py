@@ -338,6 +338,118 @@ def make_space_sharded_adaptive_solve(*, cache, num_derivatives, mesh,
     return functools.partial(solve, cache)
 
 
+def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
+                                        mesh, latent=False, panel_size=None,
+                                        tol=None, max_iters=200,
+                                        meascov_dt_scaled=False):
+    """Riccati fixed point of the sharded step (linear + constant dt).
+
+    The steady-state mode's convergence loop with the pre-array QR replaced
+    by the distributed blocked panel factorization — the covariance carry
+    stays column-sharded across iterations. This is what makes steady-state
+    reachable BEYOND one chip: at the N=1e5 3-D config even the frozen
+    stationary gain ``L21`` (D, m) is ~80 GB, so both the convergence and
+    the frozen blocks must live sharded. Returns the same
+    ``SteadyStateCache`` the single-device mode uses (arrays sharded).
+    """
+    from pnmol_tpu.solvers import latent as latent_module
+    from pnmol_tpu.solvers import white as white_module_
+
+    factorization = make_distributed_factorization(
+        mesh=mesh, panel_size=panel_size
+    )
+    cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
+    if tol is None:
+        tol = 1e-8 if cov0.dtype == jnp.float64 else 1e-5
+    converge = (
+        latent_module.converge_latent_steady_state
+        if latent
+        else white_module_.converge_white_steady_state
+    )
+    kwargs = {} if latent else {"meascov_dt_scaled": meascov_dt_scaled}
+
+    @jax.jit
+    def run(cache_arg, C0, dt_arr):
+        C0 = jax.lax.with_sharding_constraint(C0, cov_sharding)
+        return converge(
+            cache_arg, C0, dt_arr,
+            num_derivatives=num_derivatives, fused=True,
+            factorization=factorization, tol=tol, max_iters=max_iters,
+            **kwargs,
+        )
+
+    return run(cache, cov0, jnp.asarray(dt, cov0.dtype))
+
+
+def shard_steady_cache(steady, mesh):
+    """Place frozen stationary blocks on the mesh for the mean-only solve:
+    the wide (D, m) gain block and the (m, m) whitener row-sharded over
+    'space' (their matvecs are row-independent; GSPMD all-gathers the (m,)
+    whitened residual), scalars/vectors replicated."""
+    row = NamedSharding(mesh, PartitionSpec("space", None))
+    repl = NamedSharding(mesh, PartitionSpec())
+    space = mesh.shape["space"]
+
+    def place(value, want_row):
+        # row-shard only when the leading dim tiles the space axis (the m
+        # dim rarely does at toy sizes; the wide L21/cov_inf are what matter)
+        if want_row and value.ndim == 2 and value.shape[0] % space == 0:
+            return jax.device_put(value, row)
+        return jax.device_put(value, repl)
+
+    plan = {"cov_inf": True, "L21": True, "Sl": False, "Sl_inv": True,
+            "err_vec": False, "iterations": False, "delta": False}
+    return type(steady)(
+        **{k: place(v, plan[k]) for k, v in steady._asdict().items()}
+    )
+
+
+def make_space_sharded_steady_solve(*, cache, steady, num_derivatives, mesh,
+                                    dt, num_steps, latent=False):
+    """Space-sharded mean-only steady-state solve (multi-step scan).
+
+    Every step is the frozen-gain mean update of
+    :func:`pnmol_tpu.solvers.white.make_steady_state_white_step` (or the
+    latent analog) with the stationary blocks row-sharded over the mesh —
+    no QR anywhere, O(D*m/P) work and bytes per device per step. Returns a
+    jitted ``solve(mean0, t0) -> (mean, diffusion_sq)``; the covariance is
+    the frozen ``steady.cov_inf`` and is not carried. Place ``steady`` with
+    :func:`shard_steady_cache` first.
+    """
+    from pnmol_tpu.solvers import latent as latent_module
+    from pnmol_tpu.solvers import white as white_module_
+
+    make = (
+        latent_module.make_steady_state_latent_step
+        if latent
+        else white_module_.make_steady_state_white_step
+    )
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    @jax.jit
+    def solve(cache_arg, steady_arg, mean0, t0):
+        step = make(cache=cache_arg, steady=steady_arg,
+                    num_derivatives=num_derivatives)
+        mean0 = jax.lax.with_sharding_constraint(mean0, replicated)
+        dt_arr = jnp.asarray(dt, mean0.dtype)
+
+        def body(carry, i):
+            mean, diff_sum = carry
+            t_next = t0 + (i + 1) * dt_arr
+            mean, _, _, _, diff_sq = step(
+                mean, steady_arg.cov_inf, t_next, dt_arr
+            )
+            mean = jax.lax.with_sharding_constraint(mean, replicated)
+            return (mean, diff_sum + diff_sq), None
+
+        (mean, diff_sum), _ = jax.lax.scan(
+            body, (mean0, jnp.zeros((), mean0.dtype)), jnp.arange(num_steps)
+        )
+        return mean, diff_sum / num_steps
+
+    return functools.partial(solve, cache, steady)
+
+
 def shard_cache(cache, mesh, distributed_qr=False):
     """Place the step cache on the mesh: Ql sharded to match the step's
     covariance layout, small operands replicated."""

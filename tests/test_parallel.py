@@ -707,3 +707,71 @@ def test_space_sharded_semilinear_step_matches_unsharded(device_mesh):
     )
     assert jnp.allclose(got[4], expected[4], rtol=1e-6)
     assert len(got[1].addressable_shards) > 1
+
+
+@pytest.mark.parametrize("latent_mode", [False, True], ids=["white", "latent"])
+def test_space_sharded_steady_state_matches_single_device(device_mesh,
+                                                          latent_mode):
+    """Sharded Riccati convergence + sharded mean-only steady solve ==
+    the single-device steady-state mode (at the N=1e5 config even the
+    frozen (D, m) gain is ~80 GB, so the steady tier must shard too)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import latent, white
+
+    dt, tmax = 0.05, 0.25  # exactly 5 steps
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=tmax)
+    cls = latent.LinearLatentForceEK1 if latent_mode else white.LinearWhiteNoiseEK1
+    solver = cls(steprule=step_module.Constant(dt), steady_state=True)
+    state0 = solver.initialize(heat)
+    reference = solver.steady_cache
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    with device_mesh:
+        steady = sharded_filter.converge_space_sharded_steady_state(
+            cache=cache_sharded, cov0=state0.y.cov_sqrtm, dt=dt,
+            num_derivatives=2, mesh=device_mesh, latent=latent_mode,
+            panel_size=16,
+        )
+    # same fixed point as the single-device recursion (factor Gram; the
+    # factor itself is unique only up to right-rotations)
+    assert jnp.allclose(
+        jnp.asarray(steady.cov_inf) @ jnp.asarray(steady.cov_inf).T,
+        reference.cov_inf @ reference.cov_inf.T,
+        atol=1e-7,
+    )
+    assert jnp.allclose(
+        jnp.asarray(steady.Sl) @ jnp.asarray(steady.Sl).T,
+        reference.Sl @ reference.Sl.T,
+        atol=1e-7,
+    )
+
+    steady_sharded = sharded_filter.shard_steady_cache(steady, device_mesh)
+    assert len(steady_sharded.L21.addressable_shards) > 1
+    solve = sharded_filter.make_space_sharded_steady_solve(
+        cache=cache_sharded, steady=steady_sharded, num_derivatives=2,
+        mesh=device_mesh, dt=dt, num_steps=5, latent=latent_mode,
+    )
+    with device_mesh:
+        mean, diff_sq = solve(state0.y.mean, jnp.asarray(heat.t0))
+
+    # single-device mean-only recursion from the same frozen blocks
+    make = (
+        latent.make_steady_state_latent_step
+        if latent_mode
+        else white.make_steady_state_white_step
+    )
+    step_local = make(cache=solver._cache, steady=reference,
+                      num_derivatives=2)
+    m_ref = state0.y.mean
+    diff_sum = 0.0
+    for i in range(5):
+        m_ref, _, _, _, dsq = step_local(
+            m_ref, reference.cov_inf, heat.t0 + (i + 1) * dt,
+            jnp.asarray(dt)
+        )
+        diff_sum += float(dsq)
+    assert jnp.allclose(mean, m_ref, atol=1e-7)
+    assert jnp.allclose(diff_sq, diff_sum / 5, rtol=1e-5)
