@@ -632,6 +632,8 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
             # dtype-aware default tolerance, as in the white base
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
+            # donate C0, as in the white base (the loop consumes it)
+            donate = () if jax.default_backend() == "cpu" else (1,)
             converge = jax.jit(functools.partial(
                 converge_latent_steady_state,
                 num_derivatives=num_derivatives,
@@ -640,7 +642,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
                 propagate_band=self.propagate_band,
                 tol=opts.get("tol", default_tol),
                 max_iters=opts.get("max_iters", 200),
-            ))
+            ), donate_argnums=donate)
             self.steady_cache = converge(self._cache, C0, dt0)
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_latent_step(

@@ -859,6 +859,11 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             # dtype-aware default tolerance: 1e-8 is below f32 resolution of
             # the Gram diagonal, so an f32 run would always burn max_iters
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
+            # donate C0: the convergence loop consumes the init factor, and
+            # at N=1e4 keeping both it and the stationary factor alive is a
+            # wasted (D, D) buffer (CPU does not support donation; harmless
+            # warning there)
+            donate = () if jax.default_backend() == "cpu" else (1,)
             converge = jax.jit(functools.partial(
                 converge_white_steady_state,
                 num_derivatives=self.num_derivatives,
@@ -868,7 +873,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 meascov_dt_scaled=self.meascov_dt_scaled,
                 tol=opts.get("tol", default_tol),
                 max_iters=opts.get("max_iters", 200),
-            ))
+            ), donate_argnums=donate)
             self.steady_cache = converge(self._cache, C0, dt0)
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_white_step(
