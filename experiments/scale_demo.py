@@ -120,20 +120,30 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         propagate_band=propagate_band,
     )
     if steady_state:
-        # mean-only stationary step (no QR in the time loop); the frozen
-        # factor blocks ride in the closure, the (D, D) factor stays put
+        # mean-only stationary step (no QR in the time loop). The frozen
+        # blocks ride as RUNTIME ARGUMENTS through the cache slot — closed
+        # over, they would be serialized as constants into the remote
+        # compile request (observed HTTP 413 past ~0.5 GB of blocks). The
+        # carried cov is a (1, 1) dummy: the stationary factor is frozen,
+        # and carrying a second (D, D) alongside the cov_inf in the cache
+        # would double-buffer it through donation.
         make_steady = (
             white_module.make_steady_state_white_step
             if solver_name == "white"
             else latent_module.make_steady_state_latent_step
         )
-        steady_fn = make_steady(
-            cache=solver._cache, steady=solver.steady_cache,
-            num_derivatives=nu,
-        )
 
-        def attempt(cache, m, c, t, dt, _fn=steady_fn):
-            return _fn(m, c, t, dt)
+        def attempt(cache_and_steady, m, c, t, dt, _make=make_steady, _nu=nu):
+            base, steady = cache_and_steady
+            return _make(cache=base, steady=steady, num_derivatives=_nu)(
+                m, c, t, dt
+            )
+
+        # the mean-only step reads only (L21, Sl_inv, err_vec): strip the
+        # (D, D) stationary factor and (m, m) Sl so they don't stay resident
+        dummy = jnp.zeros((1, 1), mean.dtype)
+        cache = (cache, solver.steady_cache._replace(cov_inf=dummy, Sl=dummy))
+        cov = dummy
 
     # Free everything the step does not consume before it runs: the problem
     # (E_sqrtm etc.), the solver (its IWP holds the (d, d) Gram factor), and

@@ -864,6 +864,12 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             # wasted (D, D) buffer (CPU does not support donation; harmless
             # warning there)
             donate = () if jax.default_backend() == "cpu" else (1,)
+            max_iters = opts.get("max_iters", 200)
+            # the recursion runs as bounded host-loop chunks: one giant
+            # while_loop execution trips remote-execution time limits at
+            # large D (observed UNAVAILABLE past ~5 device-minutes on the
+            # relay), and the chunk seam costs one extra covariance step
+            chunk = min(opts.get("chunk_iters", 50), max_iters)
             converge = jax.jit(functools.partial(
                 converge_white_steady_state,
                 num_derivatives=self.num_derivatives,
@@ -872,9 +878,20 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 propagate_band=self.propagate_band,
                 meascov_dt_scaled=self.meascov_dt_scaled,
                 tol=opts.get("tol", default_tol),
-                max_iters=opts.get("max_iters", 200),
+                max_iters=chunk,
             ), donate_argnums=donate)
-            self.steady_cache = converge(self._cache, C0, dt0)
+            tol = opts.get("tol", default_tol)
+            total_iters, delta, C_cur = 0, float("inf"), C0
+            while total_iters < max_iters and (
+                total_iters == 0 or delta >= tol
+            ):
+                sc = converge(self._cache, C_cur, dt0)
+                C_cur = sc.cov_inf
+                delta = float(sc.delta)
+                total_iters += int(sc.iterations)
+            self.steady_cache = sc._replace(
+                iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
+            )
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_white_step(
                 cache=self._cache,
