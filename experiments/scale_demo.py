@@ -27,7 +27,7 @@ def _sync(x):
 
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
               solver_name="white", propagate_band=None, steady_state=False,
-              steady_iters=None, steady_tol=None):
+              steady_iters=None, steady_tol=None, dt=1e-3):
     import functools
 
     import pnmol_tpu
@@ -87,7 +87,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
             opts["tol"] = steady_tol
         solver_kwargs["steady_state"] = opts or True
     solver = solver_cls(
-        steprule=step_module.Constant(dt=1e-3),
+        steprule=step_module.Constant(dt=dt),
         num_derivatives=nu,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
         factorization=None if factorization == "xla" else factorization,
@@ -108,7 +108,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     cache = solver._cache
     mean, cov = state.y.mean, state.y.cov_sqrtm
     dtype_str = str(mean.dtype)
-    dt = jnp.asarray(1e-3, mean.dtype)
+    dt = jnp.asarray(dt, mean.dtype)
     attempt = (
         white_module.white_attempt_step
         if solver_name == "white"
@@ -183,7 +183,9 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     nan_free = not bool(jnp.any(jnp.isnan(mean_final)))
     # latent state glues [solution | latent force]; judge decay on the
     # solution half only
-    decayed = float(jnp.abs(mean_final[0, :d]).max()) < mean0_max
+    final_max = float(jnp.abs(mean_final[0, :d]).max())
+    decayed = final_max < mean0_max
+    decay_ratio = final_max / mean0_max
     print(json.dumps({
         "demo": {1: "heat1d_step", 2: "heat2d_step", 3: "advdiff3d_step"}[dim],
         "solver": solver_name,
@@ -202,8 +204,10 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         "build_seconds": round(build_s, 2),
         "init_seconds": round(init_s, 2),
         "compile_seconds": round(compile_s, 2),
+        "dt": float(dt),
         "nan_free": nan_free,
         "heat_decays": decayed,
+        "decay_ratio": round(decay_ratio, 6),
     }))
 
 
@@ -273,6 +277,10 @@ if __name__ == "__main__":
                         help="Riccati max_iters override (default 200)")
     parser.add_argument("--steady-tol", type=float, default=None,
                         help="Riccati stationarity tol override")
+    parser.add_argument("--dt", type=float, default=1e-3,
+                        help="step size (throughput is dt-independent; the "
+                             "Riccati mixes at the dynamics' rate, so "
+                             "steady-state runs converge faster at larger dt)")
     parser.add_argument("--input-scale", type=float, default=5.0)
     parser.add_argument("--factorization", choices=("xla", "householder"),
                         default="xla")
@@ -282,6 +290,7 @@ if __name__ == "__main__":
                   factorization=args.factorization, solver_name=args.solver,
                   propagate_band=args.propagate_band,
                   steady_state=args.steady_state,
-                  steady_iters=args.steady_iters, steady_tol=args.steady_tol)
+                  steady_iters=args.steady_iters, steady_tol=args.steady_tol,
+                  dt=args.dt)
     else:
         demo_gram(args.n, args.input_scale)

@@ -312,15 +312,19 @@ def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, dtype),
     )
-    C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
-    C_inf, L21, Sl = cov_step(C_conv)
+    # full-precision matmuls: the fixed point cannot be certified (nor the
+    # frozen gain trusted) at the TPU bf16 default — see the note in
+    # pnmol_tpu.solvers.white.converge_white_steady_state; no-op on CPU
+    with jax.default_matmul_precision("highest"):
+        C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
+        C_inf, L21, Sl = cov_step(C_conv)
 
-    HQl = apply_H(cache.Ql)
-    S_err = HQl @ HQl.T
-    err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
-    from pnmol_tpu.solvers.white import _triangular_inverse
+        HQl = apply_H(cache.Ql)
+        S_err = HQl @ HQl.T
+        err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
+        from pnmol_tpu.solvers.white import _triangular_inverse
 
-    Sl_inv = _triangular_inverse(Sl)
+        Sl_inv = _triangular_inverse(Sl)
     return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
@@ -341,22 +345,25 @@ def make_steady_state_latent_step(*, cache: LatentSolverCache,
     d = cache.L.shape[0]
 
     def step(mean, cov, t_next, dt):
-        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
-        M = mean * p_inv[:, None]
-        Mp = cache.A1d @ M
-        state_at = p[0] * Mp[0, :d]
-        eps_at = p[0] * Mp[0, d:]
-        z = jnp.concatenate(
-            (p[1] * Mp[1, :d] - cache.L @ state_at - eps_at,
-             cache.B @ state_at)
-        )
-        # whiten with the precomputed inverse: a matvec keeps the step on
-        # the MXU; a vector trisolve is latency-bound on TPU
-        residual_white = steady.Sl_inv @ z
-        diffusion_sq = residual_white @ residual_white / z.shape[0]
-        m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
-        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
-        error = steady.err_vec * jnp.sqrt(diffusion_sq)
+        # full-precision matvecs, as in the white steady step (the frozen
+        # closed loop is marginal in its slow modes); no-op on CPU
+        with jax.default_matmul_precision("highest"):
+            p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+            M = mean * p_inv[:, None]
+            Mp = cache.A1d @ M
+            state_at = p[0] * Mp[0, :d]
+            eps_at = p[0] * Mp[0, d:]
+            z = jnp.concatenate(
+                (p[1] * Mp[1, :d] - cache.L @ state_at - eps_at,
+                 cache.B @ state_at)
+            )
+            # whiten with the precomputed inverse: a matvec keeps the step
+            # on the MXU; a vector trisolve is latency-bound on TPU
+            residual_white = steady.Sl_inv @ z
+            diffusion_sq = residual_white @ residual_white / z.shape[0]
+            m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
+            M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+            error = steady.err_vec * jnp.sqrt(diffusion_sq)
         return M_new, cov, error, jnp.abs(M_new[0, :d]), diffusion_sq
 
     return step

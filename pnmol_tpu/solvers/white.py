@@ -388,13 +388,20 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, dtype),
     )
-    C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
-    C_inf, L21, Sl = cov_step(C_conv)
+    # The recursion and the frozen blocks need full-precision matmuls: at
+    # the TPU default (single-pass bf16) the Gram-diagonal delta floors at
+    # ~3e-3 — the fixed point is never certified — and the frozen gain is
+    # bf16-grade, which leaves the mean recursion marginally unstable
+    # (observed: flat heat trajectories at D ~ 1e4). "highest" here is the
+    # correctness requirement, not a tuning choice; no-op on CPU.
+    with jax.default_matmul_precision("highest"):
+        C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
+        C_inf, L21, Sl = cov_step(C_conv)
 
-    HQl = apply_H(cache.Ql)
-    S = HQl @ HQl.T + E_bc @ E_bc.T
-    err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
-    Sl_inv = _triangular_inverse(Sl)
+        HQl = apply_H(cache.Ql)
+        S = HQl @ HQl.T + E_bc @ E_bc.T
+        err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
+        Sl_inv = _triangular_inverse(Sl)
     return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
@@ -414,20 +421,24 @@ def make_steady_state_white_step(*, cache: WhiteSolverCache,
     n = num_derivatives + 1
 
     def step(mean, cov, t_next, dt):
-        p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
-        M = mean * p_inv[:, None]
-        Mp = cache.A1d @ M
-        m_at = p[0] * Mp[0]
-        z = jnp.concatenate(
-            (p[1] * Mp[1] - cache.L @ m_at, cache.B @ m_at)
-        )
-        # whiten with the precomputed inverse: a matvec keeps the step on
-        # the MXU; a vector trisolve is latency-bound on TPU
-        residual_white = steady.Sl_inv @ z
-        diffusion_sq = residual_white @ residual_white / z.shape[0]
-        m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
-        M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
-        error = steady.err_vec * jnp.sqrt(diffusion_sq)
+        # full-precision matvecs: the closed loop (A - K H A) sits near the
+        # unit circle in its slow modes, and bf16 gain application drifts it
+        # across (see converge_white_steady_state); no-op on CPU
+        with jax.default_matmul_precision("highest"):
+            p, p_inv = iwp.nordsieck_scales_1d(num_derivatives, dt)
+            M = mean * p_inv[:, None]
+            Mp = cache.A1d @ M
+            m_at = p[0] * Mp[0]
+            z = jnp.concatenate(
+                (p[1] * Mp[1] - cache.L @ m_at, cache.B @ m_at)
+            )
+            # whiten with the precomputed inverse: a matvec keeps the step
+            # on the MXU; a vector trisolve is latency-bound on TPU
+            residual_white = steady.Sl_inv @ z
+            diffusion_sq = residual_white @ residual_white / z.shape[0]
+            m_new_flat = iwp.mean_to_flat(Mp) - steady.L21 @ residual_white
+            M_new = iwp.flat_to_mean(m_new_flat, n) * p[:, None]
+            error = steady.err_vec * jnp.sqrt(diffusion_sq)
         return M_new, cov, error, jnp.abs(M_new[0]), diffusion_sq
 
     return step
