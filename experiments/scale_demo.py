@@ -27,7 +27,8 @@ def _sync(x):
 
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
               solver_name="white", propagate_band=None, steady_state=False,
-              steady_iters=None, steady_tol=None, dt=1e-3):
+              steady_iters=None, steady_tol=None, steady_dtype=None,
+              steady_chunk=None, dt=1e-3):
     import functools
 
     import pnmol_tpu
@@ -85,6 +86,10 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
             opts["max_iters"] = steady_iters
         if steady_tol is not None:
             opts["tol"] = steady_tol
+        if steady_dtype is not None:
+            opts["dtype"] = steady_dtype
+        if steady_chunk is not None:
+            opts["chunk_iters"] = steady_chunk
         solver_kwargs["steady_state"] = opts or True
     solver = solver_cls(
         steprule=step_module.Constant(dt=dt),
@@ -277,6 +282,13 @@ if __name__ == "__main__":
                         help="Riccati max_iters override (default 200)")
     parser.add_argument("--steady-tol", type=float, default=None,
                         help="Riccati stationarity tol override")
+    parser.add_argument("--steady-dtype", default=None,
+                        choices=("float64",),
+                        help="run the Riccati recursion in f64 and cast the "
+                             "frozen blocks back (required past D ~ 1e4 in "
+                             "f32 — see docs/SCALE.md)")
+    parser.add_argument("--steady-chunk", type=int, default=None,
+                        help="Riccati iterations per device execution")
     parser.add_argument("--dt", type=float, default=1e-3,
                         help="step size (throughput is dt-independent; the "
                              "Riccati mixes at the dynamics' rate, so "
@@ -291,6 +303,7 @@ if __name__ == "__main__":
                   propagate_band=args.propagate_band,
                   steady_state=args.steady_state,
                   steady_iters=args.steady_iters, steady_tol=args.steady_tol,
-                  dt=args.dt)
+                  steady_dtype=args.steady_dtype,
+                  steady_chunk=args.steady_chunk, dt=args.dt)
     else:
         demo_gram(args.n, args.input_scale)

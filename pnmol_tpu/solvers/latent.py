@@ -639,30 +639,15 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
             # dtype-aware default tolerance, as in the white base
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
-            # donate C0 + bounded host-loop chunks, as in the white base
-            donate = () if jax.default_backend() == "cpu" else (1,)
-            max_iters = opts.get("max_iters", 200)
-            chunk = min(opts.get("chunk_iters", 50), max_iters)
-            converge = jax.jit(functools.partial(
-                converge_latent_steady_state,
+            from pnmol_tpu.solvers.white import run_steady_convergence
+
+            self.steady_cache = run_steady_convergence(
+                converge_latent_steady_state, self._cache, C0, dt0, opts,
+                default_tol,
                 num_derivatives=num_derivatives,
                 fused=self.fused,
                 factorization=self.factorization,
                 propagate_band=self.propagate_band,
-                tol=opts.get("tol", default_tol),
-                max_iters=chunk,
-            ), donate_argnums=donate)
-            tol = opts.get("tol", default_tol)
-            total_iters, delta, C_cur = 0, float("inf"), C0
-            while total_iters < max_iters and (
-                total_iters == 0 or delta >= tol
-            ):
-                sc = converge(self._cache, C_cur, dt0)
-                C_cur = sc.cov_inf
-                delta = float(sc.delta)
-                total_iters += int(sc.iterations)
-            self.steady_cache = sc._replace(
-                iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
             )
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_latent_step(

@@ -406,6 +406,76 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
 
+def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
+                           **converge_kwargs):
+    """Chunked host-loop driver for the Riccati convergence (white + latent).
+
+    ``opts`` keys: ``tol``, ``max_iters`` (200), ``chunk_iters``, ``dtype``.
+    Chunks bound single-device executions (remote relays kill executions
+    past ~5 minutes) and let convergence be checked host-side between them.
+
+    ``opts["dtype"]="float64"`` runs the RECURSION in f64 on an f32 problem
+    and casts the frozen blocks back: at D ~ 1e4 the f32 QR noise times the
+    covariance conditioning exceeds any useful stationarity tolerance (the
+    delta floors at ~7e-3 and the frozen gain inherits ~1e-2 error — enough
+    to push the frozen closed loop's slow modes across the unit circle).
+    The one-time f64 cost is the mixed-precision policy working as intended;
+    the override forces the plain XLA two-QR pipeline (the Pallas hooks are
+    f32-only, and the fused pre-array at f64 is the known memory wall).
+    """
+    import contextlib
+
+    out_dtype = C0.dtype
+    ric_dtype = opts.get("dtype")
+    promote = ric_dtype is not None and jnp.dtype(ric_dtype) != out_dtype
+    # under the X32 policy jax_enable_x64 is off and astype(float64)
+    # silently truncates back to f32 — the promotion needs the scoped
+    # enable_x64 around BOTH the casts and the converge traces
+    x64_scope = (
+        jax.enable_x64(True) if promote else contextlib.nullcontext()
+    )
+    with x64_scope:
+        if promote:
+            ric_dtype = jnp.dtype(ric_dtype)
+            converge_kwargs = dict(
+                converge_kwargs, factorization=None, fused=False,
+                propagate_band=None,
+            )
+            cache = jax.tree.map(
+                lambda x: x.astype(ric_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                cache,
+            )
+            C0 = C0.astype(ric_dtype)
+            dt0 = dt0.astype(ric_dtype)
+            default_tol = 1e-8
+
+        donate = () if jax.default_backend() == "cpu" else (1,)
+        max_iters = opts.get("max_iters", 200)
+        chunk = min(opts.get("chunk_iters", 10 if promote else 50), max_iters)
+        tol = opts.get("tol", default_tol)
+        converge = jax.jit(functools.partial(
+            converge_fn, tol=tol, max_iters=chunk, **converge_kwargs,
+        ), donate_argnums=donate)
+
+        total_iters, delta, C_cur = 0, float("inf"), C0
+        while total_iters < max_iters and (total_iters == 0 or delta >= tol):
+            sc = converge(cache, C_cur, dt0)
+            C_cur = sc.cov_inf
+            delta = float(sc.delta)
+            total_iters += int(sc.iterations)
+        sc = sc._replace(
+            iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
+        )
+    if promote:
+        sc = type(sc)(**{
+            k: (v.astype(out_dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            for k, v in sc._asdict().items()
+        })
+    return sc
+
+
 def make_steady_state_white_step(*, cache: WhiteSolverCache,
                                  steady: SteadyStateCache,
                                  num_derivatives: int):
@@ -870,38 +940,14 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             # dtype-aware default tolerance: 1e-8 is below f32 resolution of
             # the Gram diagonal, so an f32 run would always burn max_iters
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
-            # donate C0: the convergence loop consumes the init factor, and
-            # at N=1e4 keeping both it and the stationary factor alive is a
-            # wasted (D, D) buffer (CPU does not support donation; harmless
-            # warning there)
-            donate = () if jax.default_backend() == "cpu" else (1,)
-            max_iters = opts.get("max_iters", 200)
-            # the recursion runs as bounded host-loop chunks: one giant
-            # while_loop execution trips remote-execution time limits at
-            # large D (observed UNAVAILABLE past ~5 device-minutes on the
-            # relay), and the chunk seam costs one extra covariance step
-            chunk = min(opts.get("chunk_iters", 50), max_iters)
-            converge = jax.jit(functools.partial(
-                converge_white_steady_state,
+            self.steady_cache = run_steady_convergence(
+                converge_white_steady_state, self._cache, C0, dt0, opts,
+                default_tol,
                 num_derivatives=self.num_derivatives,
                 fused=self.fused,
                 factorization=self.factorization,
                 propagate_band=self.propagate_band,
                 meascov_dt_scaled=self.meascov_dt_scaled,
-                tol=opts.get("tol", default_tol),
-                max_iters=chunk,
-            ), donate_argnums=donate)
-            tol = opts.get("tol", default_tol)
-            total_iters, delta, C_cur = 0, float("inf"), C0
-            while total_iters < max_iters and (
-                total_iters == 0 or delta >= tol
-            ):
-                sc = converge(self._cache, C_cur, dt0)
-                C_cur = sc.cov_inf
-                delta = float(sc.delta)
-                total_iters += int(sc.iterations)
-            self.steady_cache = sc._replace(
-                iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
             )
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_white_step(
