@@ -26,6 +26,19 @@ PNMOL_BENCH_MATMUL_PRECISION (default | tensorfloat32 | highest),
 PNMOL_BENCH_FACTORIZATION (householder = Pallas blocked Householder LQ on
 the device run, the measured-faster default; xla = XLA's QR). The CPU
 oracle always uses XLA's QR (the reference pipeline).
+
+PNMOL_BENCH_STEADY=1 measures the steady-state (Riccati fixed-point) mode
+instead: the covariance recursion is converged ONCE at init and the timed
+loop is the mean-only stationary step (linear problems at constant dt —
+docs/SCALE.md "Steady-state mode"). The CPU baseline stays the full
+per-step-QR pipeline, i.e. the reference's semantics for the same linear
+problem; the resulting vs_baseline is the honest "this framework's
+stationary mode vs the reference's re-factorize-every-step way". Extra
+knobs: PNMOL_BENCH_STEADY_ITERS (Riccati cap, default 60),
+PNMOL_BENCH_STEADY_DTYPE (default float64 — at D ~ 1e4 an f32 recursion's
+frozen gain is unstable), PNMOL_BENCH_STEADY_CHUNK (iterations per device
+execution), PNMOL_BENCH_DT (default 1e-2 in steady mode: the Riccati mixes
+at the dynamics' rate; throughput itself is dt-independent).
 """
 
 import functools
@@ -55,7 +68,12 @@ N_POINTS = int(os.environ.get("PNMOL_BENCH_N", "512"))
 # infrastructure can kill mid-flight ("UNAVAILABLE: TPU device error" at
 # block_until_ready — observed twice in a row at N=1e4 while an 8-step
 # run of the same computation completed); the floor is irrelevant there.
-if N_POINTS <= 1024:
+STEADY = os.environ.get("PNMOL_BENCH_STEADY") == "1"
+if STEADY:
+    # the mean-only stationary step is milliseconds at EVERY N — always
+    # amortize the relay floor over a long scan
+    _auto_steps = 512
+elif N_POINTS <= 1024:
     _auto_steps = 512
 elif N_POINTS <= 2560:
     _auto_steps = 128
@@ -64,6 +82,10 @@ elif N_POINTS <= 8192:
 else:
     _auto_steps = 8
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", str(_auto_steps)))
+STEADY_ITERS = int(os.environ.get("PNMOL_BENCH_STEADY_ITERS", "60"))
+STEADY_DTYPE = os.environ.get("PNMOL_BENCH_STEADY_DTYPE", "float64")
+STEADY_CHUNK = os.environ.get("PNMOL_BENCH_STEADY_CHUNK")
+DT = float(os.environ.get("PNMOL_BENCH_DT", "0.01" if STEADY else "0.001"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
 REPEATS = int(os.environ.get("PNMOL_BENCH_REPEATS", "3"))
 # The fused pre-array's LQ work matrix is double-buffered across the sweep
@@ -139,8 +161,16 @@ def _child(mode: str) -> None:
             # the solver re-triangularizes the init factor for "interleaved"
             solver_kwargs["fused"] = False
             solver_kwargs["propagate_band"] = PROPAGATE_BAND
+    steady = STEADY and mode == "device"
+    if steady:
+        opts = {"max_iters": STEADY_ITERS}
+        if STEADY_DTYPE not in ("", "none"):
+            opts["dtype"] = STEADY_DTYPE
+        if STEADY_CHUNK:
+            opts["chunk_iters"] = int(STEADY_CHUNK)
+        solver_kwargs["steady_state"] = opts
     solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
-        steprule=step_module.Constant(dt=1e-3),
+        steprule=step_module.Constant(dt=DT),
         num_derivatives=NU,
         spatial_kernel=pnmol_tpu.kernels.Matern52() + pnmol_tpu.kernels.WhiteNoise(),
         **solver_kwargs,
@@ -152,9 +182,24 @@ def _child(mode: str) -> None:
     cache = solver._cache
     mean = state.y.mean
     cov = state.y.cov_sqrtm
-    dt = jnp.asarray(1e-3, dtype)
+    dt = jnp.asarray(DT, dtype)
 
     factorization = solver.factorization  # resolved hook (or None)
+    steady_info = None
+    if steady:
+        steady_info = {
+            "riccati_iterations": int(solver.steady_cache.iterations),
+            "riccati_delta": float(solver.steady_cache.delta),
+            "riccati_dtype": STEADY_DTYPE,
+        }
+        # The mean-only step reads only (L21, Sl_inv, err_vec). The frozen
+        # blocks ride as RUNTIME ARGUMENTS through the cache slot — closed
+        # over, they get serialized as constants into the remote compile
+        # request (HTTP 413 past ~0.5 GB); the carried cov is a (1, 1)
+        # dummy so donation never double-buffers a second (D, D).
+        dummy = jnp.zeros((1, 1), dtype)
+        cache = (cache, solver.steady_cache._replace(cov_inf=dummy, Sl=dummy))
+        cov = dummy
     # Free dead init buffers before stepping: the solver's IWP holds the
     # (d, d) Gram factor and the problem holds E_sqrtm — at N = 1e4 these
     # leftovers are the difference between fitting and ResourceExhausted
@@ -165,12 +210,18 @@ def _child(mode: str) -> None:
     def run(cache, mean, cov):
         def body(carry, t):
             m, c = carry
-            m, c, _, _, _ = white_module.white_attempt_step(
-                cache, m, c, t, dt,
-                num_derivatives=NU, f=None, df=None, linear=True, fused=FUSED,
-                factorization=factorization,
-                propagate_band=None if FUSED else PROPAGATE_BAND,
-            )
+            if steady:
+                base, frozen = cache
+                m, c, _, _, _ = white_module.make_steady_state_white_step(
+                    cache=base, steady=frozen, num_derivatives=NU,
+                )(m, c, t, dt)
+            else:
+                m, c, _, _, _ = white_module.white_attempt_step(
+                    cache, m, c, t, dt,
+                    num_derivatives=NU, f=None, df=None, linear=True,
+                    fused=FUSED, factorization=factorization,
+                    propagate_band=None if FUSED else PROPAGATE_BAND,
+                )
             return (m, c), None
 
         ts = jnp.arange(1, num_steps + 1, dtype=dtype) * dt
@@ -212,6 +263,7 @@ def _child(mode: str) -> None:
                 "build_seconds": round(build_s, 2),
                 "compile_seconds": round(compile_s, 2),
                 "relay_warmup_seconds": round(warmup_s, 2),
+                "steady": steady_info,
             }
         )
     )
@@ -263,13 +315,23 @@ def main():
     cpu_sps = cpu["steps_per_sec"]
     if cpu_projected:
         cpu_sps = cpu_sps * (CPU_PROJECT_N / N_POINTS) ** 3
-    gflops = profiling.steps_per_sec_to_gflops(device_sps, d=N_POINTS, nu=NU, b=2)
-    peak = PEAK_FLOPS_BY_PLATFORM.get(device["device_kind"])
-    mfu = (gflops * 1e9 / peak) if peak else None
+    if STEADY:
+        # the stationary step does no QR: the sqrt-Kalman FLOP model (and
+        # MFU against it) does not apply
+        gflops = mfu = None
+    else:
+        gflops = profiling.steps_per_sec_to_gflops(
+            device_sps, d=N_POINTS, nu=NU, b=2
+        )
+        peak = PEAK_FLOPS_BY_PLATFORM.get(device["device_kind"])
+        mfu = (gflops * 1e9 / peak) if peak else None
+    metric_stem = "pdefilter_steady_steps_per_sec" if STEADY else (
+        "pdefilter_steps_per_sec"
+    )
     print(
         json.dumps(
             {
-                "metric": f"pdefilter_steps_per_sec_n{N_POINTS}",
+                "metric": f"{metric_stem}_n{N_POINTS}",
                 "value": round(device_sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(device_sps / cpu_sps, 3),
@@ -282,8 +344,17 @@ def main():
                     "grid_points": N_POINTS,
                     "state_dim": N_POINTS * (NU + 1),
                     "num_steps": NUM_STEPS,
-                    "sqrt_kalman_gflops_per_sec": round(gflops, 2),
+                    "sqrt_kalman_gflops_per_sec": (
+                        round(gflops, 2) if gflops else None
+                    ),
                     "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+                    "steady_state": STEADY,
+                    "steady": device.get("steady"),
+                    "dt": DT,
+                    "cpu_baseline_pipeline": (
+                        "full per-step QR (reference semantics)"
+                        if STEADY else "same pipeline, XLA QR"
+                    ),
                     "compile_seconds_device": device["compile_seconds"],
                     "build_seconds_device": device["build_seconds"],
                     "relay_warmup_seconds_device": device.get(

@@ -13,6 +13,7 @@ the reference (which re-factorizes the identical pre-array every step —
 * the guard rails (LINEAR-only, Constant-rule-only).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -88,6 +89,86 @@ def test_steady_solve_tracks_full_solver(heat):
     )
     np.testing.assert_allclose(gram_last, scale * gram_inf,
                                rtol=1e-6, atol=1e-10)
+
+
+def test_chunked_convergence_matches_single_run(heat):
+    """The chunked host-loop driver (remote relays kill >5 min executions)
+    must land on the same fixed point as one uninterrupted while_loop."""
+    solver = _solver()
+    state = solver.initialize(heat)
+    C0 = state.y.cov_sqrtm
+    dt = jnp.asarray(0.05, C0.dtype)
+
+    one = white.run_steady_convergence(
+        white.converge_white_steady_state, solver._cache, C0, dt,
+        {}, 1e-8, num_derivatives=solver.num_derivatives,
+    )
+    chunked = white.run_steady_convergence(
+        white.converge_white_steady_state, solver._cache, C0, dt,
+        {"chunk_iters": 3}, 1e-8, num_derivatives=solver.num_derivatives,
+    )
+    assert float(chunked.delta) < 1e-8
+    # the chunk seams run extra covariance steps, so numerically-ZERO Gram
+    # entries (boundary rows, ~1e-22 against a ~1e-2 diagonal) differ in
+    # reduction order; the atol absorbs those, the rtol pins everything real
+    np.testing.assert_allclose(
+        chunked.cov_inf @ chunked.cov_inf.T,
+        one.cov_inf @ one.cov_inf.T,
+        rtol=1e-8, atol=5e-9,
+    )
+    # the two drivers stop at different iterates (seams add covariance
+    # steps), so the frozen cross block agrees to the residual transient
+    # the 1e-8 DIAGONAL tolerance still allows, not to roundoff
+    np.testing.assert_allclose(
+        chunked.L21 @ chunked.L21.T, one.L21 @ one.L21.T,
+        rtol=5e-5, atol=5e-9,
+    )
+    np.testing.assert_allclose(chunked.err_vec, one.err_vec,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_f64_promoted_riccati_on_f32_problem(heat):
+    """opts["dtype"]="float64" runs the recursion in f64 on an f32 problem
+    and casts the frozen blocks back — the large-D configuration (at
+    D ~ 1e4 an f32 recursion's delta floors at ~7e-3; docs/SCALE.md)."""
+    solver = _solver()
+    state = solver.initialize(heat)
+    dt64 = jnp.asarray(0.05, jnp.float64)
+
+    oracle = white.run_steady_convergence(
+        white.converge_white_steady_state, solver._cache,
+        state.y.cov_sqrtm, dt64, {}, 1e-8,
+        num_derivatives=solver.num_derivatives,
+    )
+
+    cache32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        solver._cache,
+    )
+    C0_32 = state.y.cov_sqrtm.astype(jnp.float32)
+    promoted = white.run_steady_convergence(
+        white.converge_white_steady_state, cache32, C0_32,
+        jnp.asarray(0.05, jnp.float32), {"dtype": "float64"}, 1e-5,
+        num_derivatives=solver.num_derivatives,
+    )
+    # outputs come back in the PROBLEM dtype ...
+    assert promoted.cov_inf.dtype == jnp.float32
+    assert promoted.Sl_inv.dtype == jnp.float32
+    # ... certified below any f32-reachable stationarity (the promote path
+    # resets the tolerance to the f64 default 1e-8)
+    assert float(promoted.delta) < 1e-8
+    # ... and agree with the all-f64 oracle to f32 cast error (the cache
+    # cast injects eps_f32-relative perturbations of the operators).
+    np.testing.assert_allclose(
+        promoted.cov_inf @ promoted.cov_inf.T,
+        (oracle.cov_inf @ oracle.cov_inf.T).astype(jnp.float32),
+        rtol=2e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        promoted.err_vec, oracle.err_vec.astype(jnp.float32),
+        rtol=2e-4, atol=1e-8,
+    )
 
 
 def test_steady_state_through_two_qr_householder_hook(heat):
