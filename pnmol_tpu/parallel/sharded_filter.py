@@ -341,7 +341,8 @@ def make_space_sharded_adaptive_solve(*, cache, num_derivatives, mesh,
 def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
                                         mesh, latent=False, panel_size=None,
                                         tol=None, max_iters=200,
-                                        meascov_dt_scaled=False):
+                                        meascov_dt_scaled=False,
+                                        dtype=None, chunk_iters=None):
     """Riccati fixed point of the sharded step (linear + constant dt).
 
     The steady-state mode's convergence loop with the pre-array QR replaced
@@ -351,7 +352,20 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
     stationary gain ``L21`` (D, m) is ~80 GB, so both the convergence and
     the frozen blocks must live sharded. Returns the same
     ``SteadyStateCache`` the single-device mode uses (arrays sharded).
+
+    ``dtype="float64"`` runs the recursion in f64 on an f32 problem and
+    casts the frozen blocks back — the same large-D requirement as the
+    single-chip driver (:func:`pnmol_tpu.solvers.white.run_steady_convergence`:
+    at D ~ 1e4 the f32 QR noise floors the stationarity delta at ~7e-3 and
+    the frozen gain destabilizes the closed loop's slow modes). Unlike the
+    single-chip promote, the DISTRIBUTED factorization stays in the loop:
+    its shifted-CholeskyQR3 panels are f64-designed (docs/SCALE.md
+    "Factorization shootout"). ``chunk_iters`` bounds one device execution
+    (remote relays kill executions past ~5 minutes); convergence is checked
+    host-side between chunks.
     """
+    import contextlib
+
     from pnmol_tpu.solvers import latent as latent_module
     from pnmol_tpu.solvers import white as white_module_
 
@@ -359,8 +373,6 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
         mesh=mesh, panel_size=panel_size
     )
     cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
-    if tol is None:
-        tol = 1e-8 if cov0.dtype == jnp.float64 else 1e-5
     converge = (
         latent_module.converge_latent_steady_state
         if latent
@@ -368,17 +380,52 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
     )
     kwargs = {} if latent else {"meascov_dt_scaled": meascov_dt_scaled}
 
-    @jax.jit
-    def run(cache_arg, C0, dt_arr):
-        C0 = jax.lax.with_sharding_constraint(C0, cov_sharding)
-        return converge(
-            cache_arg, C0, dt_arr,
-            num_derivatives=num_derivatives, fused=True,
-            factorization=factorization, tol=tol, max_iters=max_iters,
-            **kwargs,
-        )
+    out_dtype = cov0.dtype
+    promote = dtype is not None and jnp.dtype(dtype) != out_dtype
+    x64_scope = (
+        jax.enable_x64(True) if promote else contextlib.nullcontext()
+    )
+    with x64_scope:
+        if promote:
+            ric_dtype = jnp.dtype(dtype)
+            cache = jax.tree.map(
+                lambda x: x.astype(ric_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                cache,
+            )
+            cov0 = cov0.astype(ric_dtype)
+        if tol is None:
+            tol = 1e-8 if cov0.dtype == jnp.float64 else 1e-5
+        chunk = min(chunk_iters or max_iters, max_iters)
+        donate = () if jax.default_backend() == "cpu" else (1,)
 
-    return run(cache, cov0, jnp.asarray(dt, cov0.dtype))
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def run(cache_arg, C0, dt_arr):
+            C0 = jax.lax.with_sharding_constraint(C0, cov_sharding)
+            return converge(
+                cache_arg, C0, dt_arr,
+                num_derivatives=num_derivatives, fused=True,
+                factorization=factorization, tol=tol, max_iters=chunk,
+                **kwargs,
+            )
+
+        dt_arr = jnp.asarray(dt, cov0.dtype)
+        total_iters, delta, C_cur = 0, float("inf"), cov0
+        while total_iters < max_iters and (total_iters == 0 or delta >= tol):
+            sc = run(cache, C_cur, dt_arr)
+            C_cur = sc.cov_inf
+            delta = float(sc.delta)
+            total_iters += int(sc.iterations)
+        sc = sc._replace(
+            iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
+        )
+    if promote:
+        sc = type(sc)(**{
+            k: (v.astype(out_dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            for k, v in sc._asdict().items()
+        })
+    return sc
 
 
 def shard_steady_cache(steady, mesh):

@@ -775,3 +775,76 @@ def test_space_sharded_steady_state_matches_single_device(device_mesh,
         diff_sum += float(dsq)
     assert jnp.allclose(mean, m_ref, atol=1e-7)
     assert jnp.allclose(diff_sq, diff_sum / 5, rtol=1e-5)
+
+
+def test_sharded_steady_convergence_chunked_and_promoted(device_mesh):
+    """The sharded Riccati driver's large-D options: chunked executions
+    (remote relays kill >5 min device calls) must land on the same fixed
+    point as one uninterrupted run, and dtype="float64" must run the
+    recursion in f64 on an f32 problem and hand back f32 blocks (the same
+    requirement as the single-chip driver — at D ~ 1e4 the f32 QR noise
+    floors the stationarity delta; docs/SCALE.md)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    dt = 0.05
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=0.25)
+    # seed from the TRANSIENT (plain init, not the already-converged steady
+    # init) so the chunked driver actually crosses several chunk seams
+    solver = white.LinearWhiteNoiseEK1(steprule=step_module.Constant(dt))
+    state0 = solver.initialize(heat)
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    # The distributed factorization's shifted-CholQR panels perturb the
+    # factor at eps*cond per iteration, so the stationarity delta limit-
+    # cycles ~1.7e-5 here — tol must sit above that floor (the single-chip
+    # Householder recursion reaches 1e-8; this is the distributed engine's
+    # documented accuracy trade, docs/SCALE.md "Factorization shootout").
+    tol = 1e-4
+    with device_mesh:
+        one = sharded_filter.converge_space_sharded_steady_state(
+            cache=cache_sharded, cov0=state0.y.cov_sqrtm, dt=dt,
+            num_derivatives=2, mesh=device_mesh, panel_size=16, tol=tol,
+        )
+        chunked = sharded_filter.converge_space_sharded_steady_state(
+            cache=cache_sharded, cov0=state0.y.cov_sqrtm, dt=dt,
+            num_derivatives=2, mesh=device_mesh, panel_size=16, tol=tol,
+            chunk_iters=3,
+        )
+    assert float(chunked.delta) < tol
+    assert int(chunked.iterations) < 200
+    # both stop somewhere inside the same tol-sized neighborhood of the
+    # fixed point: Grams agree to tol * diag scale
+    assert jnp.allclose(
+        jnp.asarray(chunked.cov_inf) @ jnp.asarray(chunked.cov_inf).T,
+        jnp.asarray(one.cov_inf) @ jnp.asarray(one.cov_inf).T,
+        rtol=1e-3, atol=2e-5,
+    )
+
+    # f64-promoted recursion on an f32 problem: f32 outputs, f64-certified
+    cache32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        cache_sharded,
+    )
+    with device_mesh:
+        promoted = sharded_filter.converge_space_sharded_steady_state(
+            cache=cache32, cov0=state0.y.cov_sqrtm.astype(jnp.float32),
+            dt=dt, num_derivatives=2, mesh=device_mesh, panel_size=16,
+            dtype="float64", tol=tol, chunk_iters=5,
+        )
+    assert promoted.cov_inf.dtype == jnp.float32
+    assert promoted.Sl_inv.dtype == jnp.float32
+    assert float(promoted.delta) < tol
+    # all runs stop inside the same tol-neighborhood of the fixed point
+    # (measured: ~5e-6 abs / ~2e-3 rel at tol=1e-4 on this problem), plus
+    # the f32 cast of the frozen blocks
+    assert jnp.allclose(
+        jnp.asarray(promoted.cov_inf) @ jnp.asarray(promoted.cov_inf).T,
+        (jnp.asarray(one.cov_inf) @ jnp.asarray(one.cov_inf).T
+         ).astype(jnp.float32),
+        rtol=5e-3, atol=2e-5,
+    )
