@@ -190,7 +190,12 @@ def _child(mode: str) -> None:
         steady_info = {
             "riccati_iterations": int(solver.steady_cache.iterations),
             "riccati_delta": float(solver.steady_cache.delta),
-            "riccati_dtype": STEADY_DTYPE,
+            # effective dtype: ''/'none' means the recursion ran in the
+            # problem dtype, not whatever string the env var held
+            "riccati_dtype": (
+                STEADY_DTYPE if STEADY_DTYPE not in ("", "none")
+                else jnp.dtype(dtype).name
+            ),
         }
         # The mean-only step reads only (L21, Sl_inv, err_vec). The frozen
         # blocks ride as RUNTIME ARGUMENTS through the cache slot — closed

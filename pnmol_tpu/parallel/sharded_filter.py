@@ -394,10 +394,17 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
                 cache,
             )
             cov0 = cov0.astype(ric_dtype)
+        if max_iters < 1:
+            raise ValueError(f"max_iters must be >= 1, got {max_iters}")
         if tol is None:
             tol = 1e-8 if cov0.dtype == jnp.float64 else 1e-5
         chunk = min(chunk_iters or max_iters, max_iters)
         donate = () if jax.default_backend() == "cpu" else (1,)
+        if donate and not promote:
+            # donate_argnums=(1,) consumes C0 on the first run() call; the
+            # caller owns cov0, so donation must only ever eat loop-internal
+            # carries. (The promote path's astype already made a copy.)
+            cov0 = jnp.copy(cov0)
 
         @functools.partial(jax.jit, donate_argnums=donate)
         def run(cache_arg, C0, dt_arr):
@@ -410,12 +417,19 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
             )
 
         dt_arr = jnp.asarray(dt, cov0.dtype)
-        total_iters, delta, C_cur = 0, float("inf"), cov0
-        while total_iters < max_iters and (total_iters == 0 or delta >= tol):
+        total_iters, delta, C_cur, num_chunks = 0, float("inf"), cov0, 0
+        while total_iters < max_iters and (num_chunks == 0 or delta >= tol):
             sc = run(cache, C_cur, dt_arr)
             C_cur = sc.cov_inf
             delta = float(sc.delta)
-            total_iters += int(sc.iterations)
+            num_chunks += 1
+            # Each chunk's converge runs one EXTRA cov step after its
+            # while_loop (producing the cov_inf the next chunk consumes),
+            # so that seam step advanced the recursion and must count. The
+            # FINAL chunk's extra step is the frozen-block step — the
+            # single-device path doesn't count that one either.
+            total_iters += int(sc.iterations) + 1
+        total_iters -= 1
         sc = sc._replace(
             iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
         )
