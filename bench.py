@@ -82,7 +82,8 @@ elif N_POINTS <= 8192:
 else:
     _auto_steps = 8
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", str(_auto_steps)))
-STEADY_ITERS = int(os.environ.get("PNMOL_BENCH_STEADY_ITERS", "60"))
+STEADY_ITERS = os.environ.get("PNMOL_BENCH_STEADY_ITERS")
+STEADY_SEED = os.environ.get("PNMOL_BENCH_STEADY_SEED", "1") == "1"
 STEADY_DTYPE = os.environ.get("PNMOL_BENCH_STEADY_DTYPE", "float64")
 STEADY_CHUNK = os.environ.get("PNMOL_BENCH_STEADY_CHUNK")
 DT = float(os.environ.get("PNMOL_BENCH_DT", "0.01" if STEADY else "0.001"))
@@ -163,7 +164,11 @@ def _child(mode: str) -> None:
             solver_kwargs["propagate_band"] = PROPAGATE_BAND
     steady = STEADY and mode == "device"
     if steady:
-        opts = {"max_iters": STEADY_ITERS}
+        opts = {}
+        if STEADY_ITERS:
+            opts["max_iters"] = int(STEADY_ITERS)
+        if not STEADY_SEED:
+            opts["seed"] = False
         if STEADY_DTYPE not in ("", "none"):
             opts["dtype"] = STEADY_DTYPE
         if STEADY_CHUNK:
@@ -190,6 +195,15 @@ def _child(mode: str) -> None:
         steady_info = {
             "riccati_iterations": int(solver.steady_cache.iterations),
             "riccati_delta": float(solver.steady_cache.delta),
+            **{k: v for k, v in getattr(
+                solver, "steady_diagnostics", {}).items()},
+            # stability certificate: rho < 1 <=> the frozen-gain mean
+            # recursion is stable (docs/SCALE.md "Steady-state mode")
+            "closed_loop_rho": round(float(
+                white_module.steady_closed_loop_radius(
+                    solver._cache, solver.steady_cache, DT,
+                    num_derivatives=NU,
+                )), 8),
             # effective dtype: ''/'none' means the recursion ran in the
             # problem dtype, not whatever string the env var held
             "riccati_dtype": (

@@ -28,7 +28,7 @@ def _sync(x):
 def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
               solver_name="white", propagate_band=None, steady_state=False,
               steady_iters=None, steady_tol=None, steady_dtype=None,
-              steady_chunk=None, dt=1e-3):
+              steady_chunk=None, steady_seed=True, dt=1e-3):
     import functools
 
     import pnmol_tpu
@@ -90,6 +90,8 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
             opts["dtype"] = steady_dtype
         if steady_chunk is not None:
             opts["chunk_iters"] = steady_chunk
+        if not steady_seed:
+            opts["seed"] = False
         solver_kwargs["steady_state"] = opts or True
     solver = solver_cls(
         steprule=step_module.Constant(dt=dt),
@@ -109,6 +111,20 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     steady_delta = (
         float(solver.steady_cache.delta) if steady_state else None
     )
+    steady_diag = dict(getattr(solver, "steady_diagnostics", {}) or {})
+    if steady_state:
+        # stability certificate for the frozen closed loop (matvec-only
+        # power iteration; rho < 1 <=> the mean recursion is stable)
+        rho_fn = (
+            white_module.steady_closed_loop_radius
+            if solver_name == "white"
+            else getattr(latent_module, "steady_closed_loop_radius", None)
+        )
+        if rho_fn is not None:
+            steady_diag["closed_loop_rho"] = round(float(rho_fn(
+                solver._cache, solver.steady_cache, dt,
+                num_derivatives=nu,
+            )), 8)
 
     cache = solver._cache
     mean, cov = state.y.mean, state.y.cov_sqrtm
@@ -205,6 +221,7 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
         "steady_state": steady_state,
         "steady_riccati_iterations": steady_iters,
         "steady_riccati_delta": steady_delta,
+        **({"steady_diagnostics": steady_diag} if steady_diag else {}),
         "steps_per_sec": round(steps_per_sec, 4),
         "build_seconds": round(build_s, 2),
         "init_seconds": round(init_s, 2),
@@ -289,6 +306,9 @@ if __name__ == "__main__":
                              "f32 — see docs/SCALE.md)")
     parser.add_argument("--steady-chunk", type=int, default=None,
                         help="Riccati iterations per device execution")
+    parser.add_argument("--steady-no-seed", action="store_true",
+                        help="disable the doubling (SDA) seed and converge "
+                             "the recursion from scratch (for comparison)")
     parser.add_argument("--dt", type=float, default=1e-3,
                         help="step size (throughput is dt-independent; the "
                              "Riccati mixes at the dynamics' rate, so "
@@ -304,6 +324,7 @@ if __name__ == "__main__":
                   steady_state=args.steady_state,
                   steady_iters=args.steady_iters, steady_tol=args.steady_tol,
                   steady_dtype=args.steady_dtype,
-                  steady_chunk=args.steady_chunk, dt=args.dt)
+                  steady_chunk=args.steady_chunk,
+                  steady_seed=not args.steady_no_seed, dt=args.dt)
     else:
         demo_gram(args.n, args.input_scale)

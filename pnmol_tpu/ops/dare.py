@@ -1,0 +1,164 @@
+"""Doubling solver for the discrete algebraic Riccati equation (DARE).
+
+The steady-state mode freezes the fixed point of the covariance half of the
+Kalman recursion (``pnmol_tpu.solvers.white.converge_white_steady_state``).
+Iterating the per-step recursion converges only at the closed loop's own
+mixing rate — ``1 - O(lambda_min * dt)`` per iteration, i.e. ``O(1/dt)``
+full-QR iterations for a fixed accuracy (the reference re-runs that exact
+recursion every step forever: ``/root/reference/src/pnmol/white.py:96-146``).
+
+This module computes the fixed point directly with the **structure-preserving
+doubling algorithm** (SDA): the one-step Riccati map is a linear-fractional
+(Moebius) transform of the symplectic matrix, so composing the map with
+itself squares that matrix — iteration ``k`` of SDA represents the
+``2^k``-step map. Convergence is quadratic: ``~log2(1/(lambda_min*dt))``
+iterations of dense matmuls plus one QR-based solve each, instead of
+``O(1/dt)`` QR factorizations of the full pre-array.
+
+Form solved (filter/estimation DARE, predicted covariance):
+
+    Sigma = A Sigma A^T + Q - A Sigma H^T (R + H Sigma H^T)^{-1} H Sigma A^T
+          = A Sigma (I + G Sigma)^{-1} A^T + Q,      G = H^T R^{-1} H.
+
+SDA iterates the triple ``(A_k, G_k, H_k)`` representing the ``2^k``-step map
+``X -> H_k + A_k^T X (I + G_k X)^{-1} A_k`` with ``A_0 = A^T``, ``G_0 = G``,
+``H_0 = Q``; ``H_k -> Sigma`` and ``A_k -> 0`` quadratically (Chu, Fan & Lin,
+"Structure-preserving doubling algorithms", 2005 — public algorithm).
+
+TPU notes: every solve against ``W = I + G_k H_k`` goes through one QR of
+``W`` shared by all right-hand sides (LU is unsupported in f64 on TPU; QR
+is, and ``W`` has eigenvalues >= 1 so the QR is safe). All matmuls run at
+``default_matmul_precision("highest")`` — the fixed point feeds a frozen
+gain whose accuracy sets closed-loop stability (docs/SCALE.md
+"Steady-state mode").
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+
+class SDAResult(NamedTuple):
+    """Fixed point + diagnostics of one SDA run (a pytree)."""
+
+    sigma: jnp.ndarray  # (D, D) predicted-covariance fixed point
+    iterations: jnp.ndarray  # () int32 doubling iterations taken
+    delta: jnp.ndarray  # () last relative max-abs change of H_k
+    anorm: jnp.ndarray  # () max-abs of the final A_k (-> 0 quadratically)
+
+
+def _qr_solve(W, *rhs):
+    """Solve ``W x = b`` for each rhs via one shared QR of ``W``.
+
+    QR (not LU): works in f64 on TPU, and ``W = I + G H`` with G, H PSD has
+    eigenvalues >= 1, so no pivoting is needed for stability.
+    """
+    Qm, Rm = jnp.linalg.qr(W)
+    return tuple(
+        jax.scipy.linalg.solve_triangular(Rm, Qm.T @ b, lower=False)
+        for b in rhs
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def sda(A, G, Q, *, tol=1e-12, max_iters=64):
+    """Solve ``Sigma = A Sigma (I + G Sigma)^{-1} A^T + Q`` by doubling.
+
+    Parameters: ``A`` (D, D) transition, ``G = H^T R^{-1} H`` (D, D) PSD
+    information matrix, ``Q`` (D, D) PSD process noise. Returns
+    :class:`SDAResult`; ``sigma`` is the PREDICTED-covariance fixed point
+    (apply one measurement update for the filtered one).
+
+    Stops when the relative max-abs change of the iterate falls below
+    ``tol`` or after ``max_iters`` doublings — iteration ``k`` covers
+    ``2^k`` recursion steps, so 64 is astronomically more than any mixing
+    time; typical exit is ~15-25.
+    """
+    dtype = Q.dtype
+    eye = jnp.eye(Q.shape[0], dtype=dtype)
+
+    def body(carry):
+        Ak, Gk, Hk, it, _ = carry
+        W = eye + Gk @ Hk
+        WinvA, WinvG = _qr_solve(W, Ak, Gk)
+        A_new = Ak @ WinvA
+        G_new = Gk + Ak @ (WinvG @ Ak.T)
+        H_new = Hk + Ak.T @ (Hk @ WinvA)
+        # the exact iterates are symmetric; roundoff asymmetry compounds
+        # through the quadratic composition, so re-symmetrize each step
+        G_new = 0.5 * (G_new + G_new.T)
+        H_new = 0.5 * (H_new + H_new.T)
+        delta = jnp.max(jnp.abs(H_new - Hk)) / (
+            jnp.max(jnp.abs(H_new)) + jnp.finfo(dtype).tiny
+        )
+        return A_new, G_new, H_new, it + 1, delta
+
+    def cond(carry):
+        _, _, _, it, delta = carry
+        return jnp.logical_and(
+            it < max_iters, jnp.logical_or(it < 1, delta >= tol)
+        )
+
+    init = (
+        A.T.astype(dtype),
+        G.astype(dtype),
+        Q,
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    with jax.default_matmul_precision("highest"):
+        Ak, Gk, Hk, iters, delta = jax.lax.while_loop(cond, body, init)
+    return SDAResult(
+        sigma=Hk, iterations=iters, delta=delta,
+        anorm=jnp.max(jnp.abs(Ak)),
+    )
+
+
+@jax.jit
+def dare_residual(sigma, A, G, Q):
+    """Relative max-abs residual of the DARE at ``sigma``.
+
+    ``||Sigma - (A Sigma (I + G Sigma)^{-1} A^T + Q)||_max / ||Sigma||_max``
+    — a convergence certificate independent of the iteration's own delta.
+    """
+    eye = jnp.eye(Q.shape[0], dtype=Q.dtype)
+    with jax.default_matmul_precision("highest"):
+        # Sigma (I + G Sigma)^{-1} = (I + Sigma G)^{-1} Sigma (push-through;
+        # the two factors do NOT commute, so the solve must be on the left)
+        (X,) = _qr_solve(eye + sigma @ G, sigma)
+        F = A @ (X @ A.T) + Q
+        return jnp.max(jnp.abs(sigma - F)) / (
+            jnp.max(jnp.abs(sigma)) + jnp.finfo(Q.dtype).tiny
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("apply_T", "num_iters"))
+def closed_loop_growth(apply_T, v0, num_iters=256):
+    """Estimate the spectral radius of the frozen closed loop by power
+    iteration on a matvec-only operator ``apply_T`` (renormalized each
+    step; the growth estimate is the geometric mean of the step norms).
+
+    The mean-only steady-state step propagates the (scaled) state through
+    ``T = (I - K H) A``; ``rho(T) < 1`` certifies the frozen-gain recursion
+    is stable regardless of the convergence delta that produced the gain —
+    the actionable diagnostic VERDICT asked for (a delta alone says nothing
+    about the slow modes the gain error perturbs).
+    """
+    dtype = v0.dtype
+
+    def body(carry, _):
+        v, log_acc = carry
+        w = apply_T(v)
+        nrm = jnp.linalg.norm(w)
+        v = w / (nrm + jnp.finfo(dtype).tiny)
+        return (v, log_acc + jnp.log(nrm)), None
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    with jax.default_matmul_precision("highest"):
+        (v, log_acc), _ = jax.lax.scan(
+            body, (v0, jnp.zeros((), dtype)), None, length=num_iters
+        )
+    return jnp.exp(log_acc / num_iters)

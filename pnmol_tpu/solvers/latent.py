@@ -329,6 +329,62 @@ def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
 
+def latent_dense_system(cache, dt, *, num_derivatives):
+    """Dense ``(A, H, Q, R, p)`` of the scaled stacked recursion.
+
+    The latent analog of
+    :func:`pnmol_tpu.solvers.white.white_dense_system`: transition
+    ``kron(I_2d, A1d)`` over the stacked (state | latent) points,
+    measurement from :func:`_measurement_operator_latent` applied to the
+    identity, and EXACTLY-ZERO measurement noise (the latent solvers use
+    noise-free updates — the discretization error lives in the state).
+    Used only by the one-time doubling seed.
+    """
+    n = num_derivatives + 1
+    d = cache.L.shape[0]
+    D2 = cache.Ql.shape[0]
+    dtype = cache.Ql.dtype
+    dt = jnp.asarray(dt, dtype)
+    p, _ = iwp.nordsieck_scales_1d(num_derivatives, dt)
+    eye = jnp.eye(D2, dtype=dtype)
+    A = iwp.apply_stack_matrix(cache.A1d, eye)
+    H = _measurement_operator_latent(cache, cache.L, p, n, d)(eye)
+    Q = cache.Ql @ cache.Ql.T
+    m_dim = d + cache.B.shape[0]
+    R = jnp.zeros((m_dim, m_dim), dtype=dtype)
+    return A, H, Q, R, p
+
+
+def steady_closed_loop_radius(cache, steady, dt, *, num_derivatives,
+                              num_iters=256):
+    """Spectral radius of the frozen latent closed loop (see the white
+    analog :func:`pnmol_tpu.solvers.white.steady_closed_loop_radius`).
+
+    Note: the latent prior's epsilon half is a non-mean-reverting IWP
+    whose integrator modes are undetectable, so they sit AT the unit
+    circle as Jordan blocks: ``||T^k|| ~ k^nu`` and the finite-k growth
+    estimate reads ``1 + O(nu log k / k)`` — expect values slightly ABOVE
+    1 here even for a perfectly healthy frozen loop (polynomial transient,
+    not exponential growth). Use the white solver's certificate semantics
+    (rho < 1) only for genuinely detectable systems."""
+    from pnmol_tpu.ops import dare
+
+    n = num_derivatives + 1
+    d = cache.L.shape[0]
+    D2 = cache.Ql.shape[0]
+    dtype = cache.Ql.dtype
+    p, _ = iwp.nordsieck_scales_1d(num_derivatives, jnp.asarray(dt, dtype))
+    apply_H = _measurement_operator_latent(cache, cache.L, p, n, d)
+
+    def apply_T(v):
+        va = iwp.apply_stack_matrix(cache.A1d, v)
+        z = apply_H(va)
+        return va - steady.L21 @ (steady.Sl_inv @ z)
+
+    v0 = jax.random.normal(jax.random.PRNGKey(0), (D2,), dtype=dtype)
+    return dare.closed_loop_growth(apply_T, v0, num_iters)
+
+
 def make_steady_state_latent_step(*, cache: LatentSolverCache,
                                   steady: SteadyStateCache,
                                   num_derivatives: int):
@@ -641,6 +697,16 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
             from pnmol_tpu.solvers.white import run_steady_convergence
 
+            # NO doubling (SDA) seed here, deliberately: the latent DARE has
+            # no finite stationary solution. The epsilon half is a
+            # non-mean-reverting IWP whose integrator modes are UNDETECTABLE
+            # through the measurement (only combinations reach the ODE
+            # rows), so the covariance grows like a random walk forever
+            # while the GAIN converges — verified by brute-force dense
+            # iteration (maxdiag grows linearly, delta decays like 1/k).
+            # The recursion's Gram-diagonal stationarity check is exactly
+            # the right object here: a gain-stationarity proxy.
+            self.steady_diagnostics = {}
             self.steady_cache = run_steady_convergence(
                 converge_latent_steady_state, self._cache, C0, dt0, opts,
                 default_tol,

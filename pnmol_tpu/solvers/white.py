@@ -406,13 +406,172 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                             err_vec=err_vec, iterations=iters, delta=delta)
 
 
+def white_dense_system(cache, dt, *, num_derivatives, meascov_dt_scaled=False):
+    """Dense ``(A, H, Q, R, p)`` of the scaled-coordinate step recursion.
+
+    The per-step covariance map (``cov_step`` in
+    :func:`converge_white_steady_state`) conjugates by the Nordsieck scales,
+    which cancel between consecutive steps — so the recursion's fixed point
+    lives in scaled coordinates with time-invariant dense operators:
+    transition ``A = kron(I_d, A1d)``, measurement ``H`` (the operator
+    :func:`_measurement_operator` applied to the identity), process noise
+    ``Q = Ql Ql^T`` and measurement noise ``R = E_bc E_bc^T``. Used only by
+    the one-time doubling seed — the step kernels never materialize these.
+    """
+    n = num_derivatives + 1
+    D = cache.Ql.shape[0]
+    dtype = cache.Ql.dtype
+    dt = jnp.asarray(dt, dtype)
+    p, _ = iwp.nordsieck_scales_1d(num_derivatives, dt)
+    E_bc = cache.E_bc_sqrtm
+    if meascov_dt_scaled:
+        E_bc = jnp.sqrt(dt) * E_bc
+    eye = jnp.eye(D, dtype=dtype)
+    A = iwp.apply_stack_matrix(cache.A1d, eye)
+    H = _measurement_operator(cache, cache.L, p, n)(eye)
+    Q = cache.Ql @ cache.Ql.T
+    R = E_bc @ E_bc.T
+    return A, H, Q, R, p
+
+
+def steady_state_sda_seed(cache, dt, *, num_derivatives,
+                          meascov_dt_scaled=False, bc_nugget=1e-6,
+                          max_iters=64, tol=None):
+    """Solve the steady-state covariance directly by doubling (SDA).
+
+    Returns ``(C0, info)``: ``C0`` the stationary POSTERIOR factor in the
+    unpreconditioned basis (the seed for the exact square-root polish that
+    produces the frozen blocks), ``info`` a dict of diagnostics
+    (``sda_iterations``, ``sda_delta``, ``dare_residual``).
+
+    Replaces the ``O(1/dt)``-iteration fixed-point recursion with
+    ``~log2(1/(lambda_min*dt))`` doubling iterations
+    (:mod:`pnmol_tpu.ops.dare`). Dirichlet problems carry EXACT boundary
+    measurements (``R_sqrtm = 0`` — models/mixins.py), so the SDA
+    initialization ``G0 = H^T R^{-1} H`` floors ``diag(R)`` at
+    ``bc_nugget^2`` times the innovation scale; the bias this adds is
+    ``O(bc_nugget^2)`` relative (the prior innovation dominates those rows)
+    and the FILTERED update below uses the exact ``R`` again. The filtered
+    fixed point is singular along the exactly-constrained boundary
+    directions, so its Cholesky gets an eps-scale jitter.
+    """
+    A, H, Q, R, p = white_dense_system(
+        cache, dt, num_derivatives=num_derivatives,
+        meascov_dt_scaled=meascov_dt_scaled,
+    )
+    return sda_seed_from_dense(
+        A, H, Q, R, p, bc_nugget=bc_nugget, max_iters=max_iters, tol=tol
+    )
+
+
+def sda_seed_from_dense(A, H, Q, R, p, *, bc_nugget=1e-6, max_iters=64,
+                        tol=None):
+    """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
+
+    Used by the white AND latent seeds (the latent one assembles its own
+    stacked dense system with exactly-zero measurement noise). See
+    :func:`steady_state_sda_seed` for the nugget/jitter rationale.
+    """
+    from pnmol_tpu.ops import dare
+
+    with jax.default_matmul_precision("highest"):
+        dtype = Q.dtype
+        if tol is None:
+            tol = 1e-12 if dtype == jnp.float64 else 1e-6
+
+        # invertible R for G0: floor the diagonal at bc_nugget^2 * the
+        # innovation scale (max over diag(R) and diag(H Q H^T))
+        HQ_gram_diag = jnp.diag(H @ Q @ H.T)
+        scale = jnp.maximum(jnp.max(jnp.diag(R)), jnp.max(HQ_gram_diag))
+        nug = (bc_nugget ** 2) * scale
+        R_eps = R + nug * jnp.eye(R.shape[0], dtype=dtype)
+        Lr = jnp.linalg.cholesky(R_eps)
+        Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
+        G0 = Wh.T @ Wh
+
+        res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters)
+        residual = dare.dare_residual(res.sigma, A, G0, Q)
+
+        # filtered fixed point with the EXACT R: P = Sigma - Sigma H^T
+        # (H Sigma H^T + R)^{-1} H Sigma
+        S = H @ res.sigma @ H.T + R
+        Ls = jnp.linalg.cholesky(S)
+        HSig = H @ res.sigma
+        P = res.sigma - HSig.T @ jax.scipy.linalg.cho_solve((Ls, True), HSig)
+        P = 0.5 * (P + P.T)
+        # PSD square root via eigh, NOT Cholesky: P is rank-deficient along
+        # the exactly-constrained measurement directions (zero-noise rows
+        # drop rank every update) and roundoff makes it indefinite at
+        # eps*||P||, which NaNs a Cholesky; jitter can't fix that without
+        # swamping the ~30-orders-of-magnitude dynamic range of the
+        # diagonal. The eigh runs ON HOST (LAPACK): the seed is a one-time
+        # host-driven stage, and TPU's QDWH eigh NaNs in f64 (observed on
+        # v5e; f64 QR works fine, f64 eigh does not). One device QR then
+        # re-triangularizes the factor (the interleaved banded pipelines
+        # require a lower-triangular state factor, and the recursion keeps
+        # triangularity from there on).
+        import numpy as _np
+
+        P_host = _np.asarray(jax.device_get(P))
+        evals, evecs = _np.linalg.eigh(P_host)
+        Cfull = jnp.asarray(
+            evecs * _np.sqrt(_np.maximum(evals, 0.0))[None, :], dtype=dtype
+        )
+        C_scaled = jnp.linalg.qr(Cfull.T)[1].T
+        C0 = iwp.scale_stack(p, C_scaled)
+    info = {
+        "sda_iterations": int(res.iterations),
+        "sda_delta": float(res.delta),
+        "dare_residual": float(residual),
+    }
+    return C0, info
+
+
+def steady_closed_loop_radius(cache, steady, dt, *, num_derivatives,
+                              num_iters=256):
+    """Spectral-radius estimate of the frozen closed loop ``T = (I - K H) A``.
+
+    Matvec-only power iteration (O(D*m) per iteration — no dense T), on the
+    exact operator the mean-only step applies
+    (:func:`make_steady_state_white_step`). ``rho < 1`` certifies the
+    frozen-gain recursion is stable independent of the convergence delta
+    that produced the gain — the actionable stability diagnostic for
+    steady-state runs (docs/SCALE.md "Steady-state mode").
+    """
+    from pnmol_tpu.ops import dare
+
+    n = num_derivatives + 1
+    D = cache.Ql.shape[0]
+    dtype = cache.Ql.dtype
+    p, _ = iwp.nordsieck_scales_1d(num_derivatives, jnp.asarray(dt, dtype))
+    apply_H = _measurement_operator(cache, cache.L, p, n)
+
+    def apply_T(v):
+        va = iwp.apply_stack_matrix(cache.A1d, v)
+        z = apply_H(va)
+        return va - steady.L21 @ (steady.Sl_inv @ z)
+
+    v0 = jax.random.normal(jax.random.PRNGKey(0), (D,), dtype=dtype)
+    return dare.closed_loop_growth(apply_T, v0, num_iters)
+
+
 def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
+                           seed_fn=None, diagnostics=None,
                            **converge_kwargs):
     """Chunked host-loop driver for the Riccati convergence (white + latent).
 
-    ``opts`` keys: ``tol``, ``max_iters`` (200), ``chunk_iters``, ``dtype``.
+    ``opts`` keys: ``tol``, ``max_iters`` (200), ``chunk_iters``, ``dtype``,
+    ``seed`` (bool, default True when a ``seed_fn`` is available).
     Chunks bound single-device executions (remote relays kill executions
     past ~5 minutes) and let convergence be checked host-side between them.
+
+    ``seed_fn(cache, dt) -> (C0, info)`` — when given (and ``opts["seed"]``
+    is not False) the initial factor is replaced by the doubling (SDA)
+    solution of the DARE (:func:`steady_state_sda_seed`): the exact
+    square-root recursion below then only POLISHES (a couple of iterations
+    to re-derive the frozen blocks through the real pipeline) instead of
+    converging from scratch at the closed loop's O(1/dt) mixing rate. Seed
+    diagnostics merge into the ``diagnostics`` dict if one is passed.
 
     ``opts["dtype"]="float64"`` runs the RECURSION in f64 on an f32 problem
     and casts the frozen blocks back: at D ~ 1e4 the f32 QR noise times the
@@ -450,9 +609,22 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
             dt0 = dt0.astype(ric_dtype)
             default_tol = 1e-8
 
+        use_seed = seed_fn is not None and opts.get("seed", True)
+        if use_seed:
+            C0, seed_info = seed_fn(cache, dt0)
+            if diagnostics is not None:
+                diagnostics.update(seed_info)
+
         donate = () if jax.default_backend() == "cpu" else (1,)
-        max_iters = opts.get("max_iters", 200)
-        chunk = min(opts.get("chunk_iters", 10 if promote else 50), max_iters)
+        # seeded default cap is small: past the seed's accuracy the
+        # recursion improves at 1 - O(lambda_min dt) per iteration, so
+        # burning the unseeded 200-cap would buy nothing
+        max_iters = opts.get("max_iters", 8 if use_seed else 200)
+        # seeded runs only need a delta reading + the frozen-block step:
+        # the recursion's own contraction (1 - O(lambda_min dt)) would take
+        # O(1/dt) iterations to IMPROVE on the seed anyway
+        default_chunk = 2 if use_seed else (10 if promote else 50)
+        chunk = min(opts.get("chunk_iters", default_chunk), max_iters)
         tol = opts.get("tol", default_tol)
         converge = jax.jit(functools.partial(
             converge_fn, tol=tol, max_iters=chunk, **converge_kwargs,
@@ -940,9 +1112,18 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             # dtype-aware default tolerance: 1e-8 is below f32 resolution of
             # the Gram diagonal, so an f32 run would always burn max_iters
             default_tol = 1e-8 if m0.dtype == jnp.float64 else 1e-5
+            seed_fn = functools.partial(
+                steady_state_sda_seed,
+                num_derivatives=self.num_derivatives,
+                meascov_dt_scaled=self.meascov_dt_scaled,
+                **{k: opts[k] for k in ("bc_nugget",) if k in opts},
+            )
+            self.steady_diagnostics = {}
             self.steady_cache = run_steady_convergence(
                 converge_white_steady_state, self._cache, C0, dt0, opts,
                 default_tol,
+                seed_fn=seed_fn,
+                diagnostics=self.steady_diagnostics,
                 num_derivatives=self.num_derivatives,
                 fused=self.fused,
                 factorization=self.factorization,

@@ -335,3 +335,101 @@ def test_latent_steady_state_rejects_nonlinear():
     )
     with pytest.raises(ValueError, match="LINEAR"):
         solver.initialize(spruce)
+
+
+def test_sda_seed_matches_unseeded_fixed_point(heat):
+    """The doubling (SDA) seed reaches the same stationary solution the
+    plain recursion converges to — at a handful of polish iterations
+    instead of hundreds (pnmol_tpu.ops.dare)."""
+    seeded = _solver(steady_state=True)  # seed on by default
+    seeded.initialize(heat)
+    unseeded = _solver(
+        steady_state={"seed": False, "max_iters": 5000, "tol": 1e-12}
+    )
+    unseeded.initialize(heat)
+
+    a, b = seeded.steady_cache, unseeded.steady_cache
+    # factors are unique only up to column signs/rotations: compare Grams
+    np.testing.assert_allclose(
+        a.cov_inf @ a.cov_inf.T, b.cov_inf @ b.cov_inf.T,
+        rtol=1e-6, atol=1e-10,
+    )
+    # ... and the gain (also invariant under the sign ambiguity)
+    np.testing.assert_allclose(
+        a.L21 @ a.Sl_inv, b.L21 @ b.Sl_inv, rtol=1e-4, atol=1e-8
+    )
+    np.testing.assert_allclose(a.err_vec, b.err_vec, rtol=1e-8)
+    # the seed did the work: the recursion only polished
+    assert int(a.iterations) <= 8
+    assert int(b.iterations) > int(a.iterations)
+    info = seeded.steady_diagnostics
+    assert info["dare_residual"] < 1e-6
+    assert int(info["sda_iterations"]) < 64
+
+
+def test_closed_loop_radius_certificate(heat):
+    """rho(T) < 1 for the frozen closed loop: the stability diagnostic
+    steady-state runs report (docs/SCALE.md 'Steady-state mode')."""
+    solver = _solver(steady_state=True)
+    solver.initialize(heat)
+    rho = float(white.steady_closed_loop_radius(
+        solver._cache, solver.steady_cache, 0.05,
+        num_derivatives=solver.num_derivatives,
+    ))
+    assert 0.0 < rho < 1.0
+
+
+def test_latent_steady_is_deliberately_unseeded(heat):
+    """The latent DARE has NO finite stationary solution: the epsilon
+    half's integrator modes are undetectable through the measurement, so
+    the covariance grows like a random walk forever while the GAIN
+    converges (verified by brute-force dense iteration below). The solver
+    therefore converges the recursion directly (Gram-diagonal stationarity
+    = gain-stationarity proxy) and must NOT run the doubling seed."""
+    solver = latent.LinearLatentForceEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    solver.initialize(heat)
+    assert "sda_iterations" not in solver.steady_diagnostics
+    assert not bool(jnp.any(jnp.isnan(solver.steady_cache.cov_inf)))
+
+    # document the divergence: the dense covariance recursion's diagonal
+    # keeps growing (no fixed point), while the gain stabilizes
+    A, H, Q, R, _ = latent.latent_dense_system(
+        solver._cache, 0.05, num_derivatives=solver.num_derivatives
+    )
+    A, H, Q = (np.asarray(x, np.float64) for x in (A, H, Q))
+    Sigma = Q.copy()
+    diags, gains = [], []
+    for k in range(600):
+        S = H @ Sigma @ H.T
+        K = Sigma @ H.T @ np.linalg.inv(S)
+        Sigma = A @ (Sigma - K @ H @ Sigma) @ A.T + Q
+        if k in (199, 399, 599):
+            diags.append(np.max(np.diag(Sigma)))
+            gains.append(K)
+    # roughly linear growth: strictly monotone, substantial over the run
+    assert diags[2] > diags[1] > diags[0]
+    assert diags[2] - diags[0] > 0.2 * diags[0]
+    gain_drift = np.max(np.abs(gains[2] - gains[1])) / np.max(np.abs(gains[2]))
+    assert gain_drift < 1e-2  # the gain has essentially converged
+
+
+def test_latent_closed_loop_radius(heat):
+    solver = latent.LinearLatentForceEK1(
+        steprule=step.Constant(dt=0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    solver.initialize(heat)
+    rho = float(latent.steady_closed_loop_radius(
+        solver._cache, solver.steady_cache, 0.05,
+        num_derivatives=solver.num_derivatives,
+    ))
+    # undetectable integrator modes sit AT the unit circle as Jordan
+    # blocks: ||T^k|| ~ k^nu, so the finite-k growth estimate reads
+    # 1 + O(nu log k / k) — POLYNOMIAL transient, not exponential growth.
+    # The certificate asserts no genuine exponential instability.
+    assert 0.0 < rho < 1.05
