@@ -62,7 +62,7 @@ def _measurement_operator_latent(cache, G, p, n, d):
 def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
                         f: Optional[Callable], df: Optional[Callable],
                         linear: bool, fused: bool = True, factorization=None,
-                        propagate_band=None):
+                        propagate_band=None, ek_order: int = 1):
     """Jitted latent-force EK1 attempt-step kernel.
 
     ``step(mean (n, 2d), cov (2D, 2D), t_next, dt)`` with semantics identical
@@ -81,17 +81,18 @@ def make_latent_step_fn(*, cache: LatentSolverCache, num_derivatives: int,
         fused=fused,
         factorization=factorization,
         propagate_band=propagate_band,
+        ek_order=ek_order,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_derivatives", "f", "df", "linear", "fused",
-                     "factorization", "propagate_band"),
+                     "factorization", "propagate_band", "ek_order"),
 )
 def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
                         f, df, linear, fused, factorization=None,
-                        propagate_band=None):
+                        propagate_band=None, ek_order=1):
     """One latent-force EK1 attempt step (module-level jit: compilations
     shared across solver instances with the same shapes and statics)."""
     n = num_derivatives + 1
@@ -109,12 +110,9 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     # [Linearize] at the predicted state half
     state_at = p[0] * Mp[0, :d]
     eps_at = p[0] * Mp[0, d:]
-    if linear:
-        G, shift = cache.L, jnp.zeros_like(state_at)
-    else:
-        fx = f(t_next, state_at)
-        Jx = df(t_next, state_at)
-        G, shift = Jx + cache.L, Jx @ state_at - fx
+    from pnmol_tpu.solvers.white import _linearize
+
+    G, shift = _linearize(f, df, cache.L, t_next, state_at, linear, ek_order)
     apply_H = _measurement_operator_latent(cache, G, p, n, d)
 
     # [Residual] z = H mp + [shift; 0]
@@ -433,8 +431,12 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
     the Pallas blocked Householder LQ; or any callable with the
     ``fused_predict_update`` contract). The latent pre-array is twice the
     white solver's in both dimensions, so the Householder speedup matters
-    even more here.
+    even more here. ``EK_ORDER`` selects the measurement linearization
+    (1 = EK1 Jacobian, 0 = EK0 zeroth-order; see
+    :class:`SemiLinearLatentForceEK0`).
     """
+
+    EK_ORDER: int = 1
 
     LINEAR: bool = True
 
@@ -671,6 +673,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             factorization=self.factorization,
             fused=self.fused,
             propagate_band=self.propagate_band,
+            ek_order=self.EK_ORDER,
         )
 
         if self.steady_state:
@@ -744,12 +747,12 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
         E0, E1 = self.E0, self.E1
         state_at = E0 @ m_stack[:D]
         eps_at = E0 @ m_stack[D:]
-        if self.LINEAR:
-            G, shift = pde.L, jnp.zeros_like(state_at)
-        else:
-            fx = pde.f(t, state_at)
-            Jx = pde.df(t, state_at)
-            G, shift = Jx + pde.L, Jx @ state_at - fx
+        from pnmol_tpu.solvers.white import _linearize
+
+        G, shift = _linearize(
+            getattr(pde, "f", None), getattr(pde, "df", None), pde.L, t,
+            state_at, self.LINEAR, self.EK_ORDER,
+        )
         H_state = E1 - G @ E0
         H_eps = -E0
         H_bc = pde.B @ E0
@@ -780,6 +783,14 @@ class LinearLatentForceEK1(_LatentForceEK1Base):
     """Latent-force EK1 for linear evolution equations."""
 
     LINEAR = True
+
+
+class SemiLinearLatentForceEK0(_LatentForceEK1Base):
+    """EK0 latent-force filter: zeroth-order measurement model (no Jacobian
+    anywhere; see pnmol_tpu.solvers.white.SemiLinearWhiteNoiseEK0)."""
+
+    LINEAR = False
+    EK_ORDER = 0
 
 
 class SemiLinearLatentForceEK1(_LatentForceEK1Base):

@@ -57,11 +57,22 @@ def _measurement_operator(cache, G, p, n):
     return apply_H
 
 
-def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
-    """EK1 linearization at the predicted point: (G, shift)."""
+def _linearize(pde_f, pde_df, L, t, m_at, linear: bool, ek_order: int = 1):
+    """EK{0,1} linearization at the predicted point: (G, shift).
+
+    ``ek_order=1`` (EK1) linearizes ``f`` with its Jacobian; ``ek_order=0``
+    (EK0) uses the zeroth-order model ``f(u) ~ f(m)`` — same innovation
+    MEAN (``z = u' - L u - f(m)``), but the measurement operator carries
+    only ``L``, so the covariance/gain never see the Jacobian (and ``df``
+    is never evaluated). Reference measurement-model seam:
+    ``/root/reference/src/pnmol/white.py:189-208``. For linear problems the
+    two coincide exactly (the "Jacobian" IS ``L``).
+    """
     if linear:
         return L, jnp.zeros_like(m_at)
     fx = pde_f(t, m_at)
+    if ek_order == 0:
+        return L, -fx
     Jx = pde_df(t, m_at)
     return Jx + L, Jx @ m_at - fx
 
@@ -69,11 +80,13 @@ def _linearize(pde_f, pde_df, L, t, m_at, linear: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("num_derivatives", "f", "df", "linear", "fused",
-                     "factorization", "meascov_dt_scaled", "propagate_band"),
+                     "factorization", "meascov_dt_scaled", "propagate_band",
+                     "ek_order"),
 )
 def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
                        f, df, linear, fused, factorization=None,
-                       meascov_dt_scaled=False, propagate_band=None):
+                       meascov_dt_scaled=False, propagate_band=None,
+                       ek_order=1):
     """One white-noise EK1 attempt step (module-level jit: compilations are
     shared across solver instances with the same shapes and statics).
 
@@ -106,7 +119,7 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Linearize] (EK1 at the predicted point)
     m_at = p[0] * Mp[0]
-    G, shift = _linearize(f, df, cache.L, t_next, m_at, linear)
+    G, shift = _linearize(f, df, cache.L, t_next, m_at, linear, ek_order)
     apply_H = _measurement_operator(cache, G, p, n)
 
     # [Residual] z = H mp + [shift; 0]
@@ -224,7 +237,8 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
                        f: Optional[Callable], df: Optional[Callable],
                        linear: bool, fused: bool = True, factorization=None,
-                       meascov_dt_scaled: bool = False, propagate_band=None):
+                       meascov_dt_scaled: bool = False, propagate_band=None,
+                       ek_order: int = 1):
     """Bind a cache to the shared step kernel.
 
     Returns ``step(mean (n,d), cov (D,D), t_next, dt) ->
@@ -249,6 +263,7 @@ def make_white_step_fn(*, cache: WhiteSolverCache, num_derivatives: int,
         factorization=factorization,
         meascov_dt_scaled=meascov_dt_scaled,
         propagate_band=propagate_band,
+        ek_order=ek_order,
     )
 
 
@@ -618,8 +633,10 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
         donate = () if jax.default_backend() == "cpu" else (1,)
         # seeded default cap is small: past the seed's accuracy the
         # recursion improves at 1 - O(lambda_min dt) per iteration, so
-        # burning the unseeded 200-cap would buy nothing
-        max_iters = opts.get("max_iters", 8 if use_seed else 200)
+        # burning the unseeded 200-cap would buy nothing — and the Gram-
+        # diagonal delta often floors just above tol at the seed's own
+        # roundoff (the dare_residual is the real convergence certificate)
+        max_iters = opts.get("max_iters", 4 if use_seed else 200)
         # seeded runs only need a delta reading + the frozen-block step:
         # the recursion's own contraction (1 - O(lambda_min dt)) would take
         # O(1/dt) iterations to IMPROVE on the seed anyway
@@ -878,6 +895,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
     """
 
     LINEAR: bool = True
+    EK_ORDER: int = 1
 
     def __init__(self, *args, meascov_dt_scaled=False, factorization=None,
                  fused=True, propagate_band=None, steady_state=False,
@@ -939,6 +957,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         nugget_scale = 1e-10 if jnp.finfo(dtype).eps < 1e-10 else 1e-5
 
         linear = self.LINEAR
+        ek_order = self.EK_ORDER
         t0 = pde.t0
         num_derivatives = self.num_derivatives
         spatial_kernel = self.spatial_kernel
@@ -1003,8 +1022,11 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 z_ode = -L @ u0
             else:
                 fx = f(t0, u0)
-                Jx = df(t0, u0)
-                G_lin = Jx + L
+                if ek_order == 0:
+                    G_lin = L
+                else:
+                    Jx = df(t0, u0)
+                    G_lin = Jx + L
                 z_ode = -L @ u0 - fx
             z_pde = jnp.concatenate((z_ode, B @ u0))
 
@@ -1091,6 +1113,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             factorization=self.factorization,
             fused=self.fused,
             propagate_band=self.propagate_band,
+            ek_order=self.EK_ORDER,
         )
 
         if self.steady_state:
@@ -1167,6 +1190,22 @@ class LinearWhiteNoiseEK1(_WhiteNoiseEK1Base):
     """EK1 for linear evolution equations (Jx = L exactly)."""
 
     LINEAR = True
+
+
+class SemiLinearWhiteNoiseEK0(_WhiteNoiseEK1Base):
+    """EK0 for semilinear problems: zeroth-order measurement model.
+
+    Same innovation mean as EK1 (``z = u' - L u - f(u_pred)``) but the
+    measurement operator carries only the discretized linear part ``L`` —
+    no Jacobian anywhere (``df`` is never evaluated), so the covariance
+    and gain are those of the LINEAR problem. Cheaper linearization,
+    coarser credit assignment; the classical EK0/EK1 trade of ODE filters
+    (the BASELINE north star names both). On linear problems EK0 == EK1
+    exactly.
+    """
+
+    LINEAR = False
+    EK_ORDER = 0
 
 
 class SemiLinearWhiteNoiseEK1(_WhiteNoiseEK1Base):

@@ -64,28 +64,99 @@ def qr_flops(rows: int, cols: int) -> float:
     return 2.0 * rows * cols**2 - (2.0 / 3.0) * cols**3
 
 
-def white_step_flops(d: int, nu: int, b: int) -> float:
-    """Approximate FLOPs of one fused white-noise EK1 step.
+def lq_sweep_flops(rows: int, cols: int, *, b0: int = None,
+                   slope: float = 1.0) -> float:
+    """Householder LQ sweep FLOPs of a (rows, cols) pre-array whose row
+    ``r`` has column support ``min(b0 + slope * r, cols)``.
+
+    ``b0=None`` means dense (support = cols everywhere) and reproduces
+    :func:`qr_flops` of the transposed problem. Counts the standard
+    4 * (rows_below) * (reflector_length) trailing-update work per
+    reflector — the term the banded/interleaved structured sweeps window
+    (``ops/qr_householder.py``; docs/SCALE.md "Banded/interleaved
+    structured LQ").
+
+    Note on orientation: an LQ of an (n_rows, n_cols) WIDE matrix is the
+    QR of its transpose, so a caller holding a (D, 2D) propagate pre-array
+    passes ``rows=D, cols=2D`` here (vs ``qr_flops(2D, D)``).
+    """
+    import numpy as np
+
+    k = np.arange(min(rows, cols), dtype=np.float64)
+    if b0 is None:
+        support = np.full_like(k, float(cols))
+    else:
+        support = np.minimum(b0 + slope * k, float(cols))
+    reflector = np.maximum(support - k, 0.0)
+    return float(np.sum(4.0 * (rows - k) * reflector))
+
+
+#: Pipelines of the white-noise step, matching the solver's dispatch
+#: (solvers/white.py): "fused" = single pre-array LQ; "two_qr" = separate
+#: propagate + update factorizations; "banded"/"interleaved" = two-QR with
+#: the structured sweeps; "steady" = the mean-only stationary step.
+WHITE_PIPELINES = ("fused", "two_qr", "banded", "interleaved", "steady")
+
+
+def white_step_flops(d: int, nu: int, b: int,
+                     pipeline: str = "fused") -> float:
+    """Approximate FLOPs of one white-noise EK1 step, PER PIPELINE.
 
     d grid points, nu derivatives (n = nu + 1, D = n d), b boundary rows.
-    Dominant terms: the fused pre-array QR ((2D + m) x (m + D)), the three
-    H-product matmuls (m x D through a (d x d) factor), and the gain apply.
+    The factorization volume differs by ~5x between pipelines (fused
+    single LQ vs interleaved banded sweeps), so effective-TFLOP/s and MFU
+    are only meaningful against the model of the pipeline that actually
+    ran — mixing them over-credits the two-QR configurations by ~2x
+    (the round-3 SCALE.md N=1e4 row nominally exceeded its own precision
+    ceiling for exactly this reason).
     """
     n = nu + 1
     D = n * d
     m = d + b
-    fused_qr = qr_flops(2 * D + m, m + D)
+    if pipeline == "steady":
+        # mean-only stationary step: transition + residual products +
+        # whiten matvec + gain matvec; no factorization at all
+        return (2.0 * n * n * d + 2.0 * d * d + 2.0 * m * m
+                + 2.0 * D * m)
     h_products = 3 * (2.0 * d * d * D)  # H @ {ACl, Ql} and error-estimate S
     gain = 2.0 * D * m
     transition = 2.0 * n * n * d * D  # kron(I, A_1d) batched matmul
-    return fused_qr + h_products + gain + transition
+    other = h_products + gain + transition
+    if pipeline == "fused":
+        return qr_flops(2 * D + m, m + D) + other
+    # two-QR split: propagate LQ of the (D, 2D) pre-array [A Cl | Ql],
+    # then update LQ of the ((m+D), (m+D)) pre-array
+    if pipeline == "two_qr":
+        fact = lq_sweep_flops(D, 2 * D) + lq_sweep_flops(m + D, m + D)
+    elif pipeline == "banded":
+        # Ql lower-triangular: propagate support D + r + 1 (~40% fewer
+        # trailing FLOPs); E_bc lower-triangular: update support D + r + 1
+        # (~15% fewer at m ~ D/2)
+        fact = (
+            lq_sweep_flops(D, 2 * D, b0=D + 1, slope=1.0)
+            + lq_sweep_flops(m + D, m + D, b0=D + 1, slope=1.0)
+        )
+    elif pipeline == "interleaved":
+        # both propagate factors triangular, point blocks interleaved:
+        # support 2r + n (~5x fewer sweep FLOPs in the large-D limit)
+        fact = (
+            lq_sweep_flops(D, 2 * D, b0=n, slope=2.0)
+            + lq_sweep_flops(m + D, m + D, b0=D + 1, slope=1.0)
+        )
+    else:
+        raise ValueError(
+            f"unknown pipeline {pipeline!r}; one of {WHITE_PIPELINES}"
+        )
+    return fact + other
 
 
-def steps_per_sec_to_gflops(steps_per_sec: float, d: int, nu: int, b: int) -> float:
-    return steps_per_sec * white_step_flops(d, nu, b) / 1e9
+def steps_per_sec_to_gflops(steps_per_sec: float, d: int, nu: int, b: int,
+                            pipeline: str = "fused") -> float:
+    return steps_per_sec * white_step_flops(d, nu, b, pipeline) / 1e9
 
 
 def roofline(d: int, nu: int, b: int, *, fused: bool = True,
+             pipeline: str = None,
              mxu_highest_tflops: float = 15.0,
              mxu_default_tflops: float = 90.0,
              bf16_peak_tflops: float = 197.0) -> dict:
@@ -103,15 +174,22 @@ def roofline(d: int, nu: int, b: int, *, fused: bool = True,
     should be compared against, not 100%.
 
     Returns the ceiling steps/s and the expected MFU at the ceiling.
+    ``pipeline`` (preferred over the legacy ``fused`` flag) selects the
+    matching per-pipeline FLOP model — see :func:`white_step_flops`.
     """
     n = nu + 1
     D = n * d
     m = d + b
-    if fused:
-        qr = qr_flops(2 * D + m, m + D)
-    else:
-        qr = qr_flops(2 * D, D) + qr_flops(D + m, m + D)
-    other = white_step_flops(d, nu, b) - qr_flops(2 * D + m, m + D)
+    if pipeline is None:
+        pipeline = "fused" if fused else "two_qr"
+    if pipeline == "steady":
+        raise ValueError(
+            "the steady step has no factorization; its ceiling is the "
+            "HBM/dispatch floor, not the MXU — use "
+            "white_step_flops(..., 'steady') directly"
+        )
+    other = white_step_flops(d, nu, b, "fused") - qr_flops(2 * D + m, m + D)
+    qr = white_step_flops(d, nu, b, pipeline) - other
     total = qr + other
     # QR trailing updates at `highest`; the H-products/transition tolerate
     # the default 1-pass precision

@@ -263,3 +263,55 @@ def test_timer_and_time_blocked(solved):
         repeats=2,
     )
     assert elapsed > 0.0
+
+
+def test_lq_sweep_flops_matches_dense_qr():
+    from pnmol_tpu.utils import profiling
+
+    D = 256
+    dense = profiling.lq_sweep_flops(D, 2 * D)
+    closed = profiling.qr_flops(2 * D, D)
+    assert abs(dense - closed) / closed < 0.02  # discrete-sum vs integral
+
+
+def test_per_pipeline_flop_ordering():
+    """interleaved < banded < two_qr, and two_qr < fused at these shapes;
+    the banded/interleaved ratios match the documented structural bounds
+    (docs/SCALE.md: banded ~40% fewer propagate trailing FLOPs,
+    interleaved ~5x fewer in the large-D limit)."""
+    from pnmol_tpu.utils import profiling
+
+    d, nu, b = 4096, 1, 2
+    flops = {
+        p: profiling.white_step_flops(d, nu, b, p)
+        for p in profiling.WHITE_PIPELINES
+    }
+    assert flops["steady"] < flops["interleaved"] < flops["banded"]
+    assert flops["banded"] < flops["two_qr"] < flops["fused"]
+
+    D = (nu + 1) * d
+    dense_prop = profiling.lq_sweep_flops(D, 2 * D)
+    banded_prop = profiling.lq_sweep_flops(D, 2 * D, b0=D + 1, slope=1.0)
+    inter_prop = profiling.lq_sweep_flops(D, 2 * D, b0=nu + 1, slope=2.0)
+    assert 0.55 < banded_prop / dense_prop < 0.65  # ~40% fewer
+    assert 0.15 < inter_prop / dense_prop < 0.25  # ~5x fewer
+
+    # the steady step is factorization-free: orders of magnitude cheaper
+    assert flops["steady"] < 1e-2 * flops["interleaved"]
+
+
+def test_roofline_per_pipeline():
+    from pnmol_tpu.utils import profiling
+
+    r_fused = profiling.roofline(2048, 1, 2, pipeline="fused")
+    r_inter = profiling.roofline(2048, 1, 2, pipeline="interleaved")
+    # less factorization work -> higher steps/s ceiling
+    assert (r_inter["steps_per_sec_ceiling"]
+            > r_fused["steps_per_sec_ceiling"])
+    # legacy flag still routes
+    legacy = profiling.roofline(2048, 1, 2, fused=False)
+    two_qr = profiling.roofline(2048, 1, 2, pipeline="two_qr")
+    assert legacy["qr_flops"] == two_qr["qr_flops"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profiling.roofline(2048, 1, 2, pipeline="steady")
