@@ -1,0 +1,264 @@
+"""Compile-only memory evidence for the N=1e5 3-D config (BASELINE.md
+scale config: "3-D advection-diffusion at N=1e5 — Cholesky/QR sharded over
+ICI").
+
+No chip needed: builds a virtual 8-device CPU mesh, lowers the SHARDED
+pipelines at the full N=1e5 shapes with sharding-annotated abstract inputs
+(``jax.ShapeDtypeStruct`` — nothing is ever materialized), compiles under
+GSPMD, and reports ``compiled.memory_analysis()`` PER-DEVICE bytes for:
+
+  1. the distributed-QR white step (fully sharded cache operands),
+  2. the distributed init factorizations (blocked Cholesky of the (d, d)
+     Gram; blocked panel QR of the init pre-array),
+  3. the steady-state Riccati convergence chunk (distributed pipeline),
+  4. the steady-state mean-only sharded solve.
+
+What this validates: the GSPMD partitioning — per-device argument/output
+bytes must be O(D^2/P), i.e. the code-complete path really shards every
+quadratic object instead of replicating one somewhere (a replicated (d, d)
+L alone is ~40 GB/device at this size). Temp bytes come from XLA:CPU's
+scheduler and are indicative, not TPU-exact; the budget column compares
+against a v5p chip (95 GB HBM), the BASELINE.md target part.
+
+Usage:  python experiments/memory_analysis_1e5.py [--side 48] [--panel 16384]
+Writes bench_artifacts/memory_analysis_n1e5.json and prints one JSON line
+per leg.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+# device count must be pinned before jax import; pre-scan argv
+_ndev = 8
+if "--devices" in sys.argv:
+    _ndev = int(sys.argv[sys.argv.index("--devices") + 1])
+os.environ.setdefault(
+    "XLA_FLAGS", f"--xla_force_host_platform_device_count={_ndev}"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+V5P_HBM_BYTES = 95e9
+
+
+def sds(shape, sharding, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+
+def analyze(name, lowered_fn, budget=V5P_HBM_BYTES):
+    t0 = time.perf_counter()
+    lowered = lowered_fn()
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    ma = compiled.memory_analysis()
+    per_dev = {
+        "argument_bytes": int(ma.argument_size_in_bytes),
+        "output_bytes": int(ma.output_size_in_bytes),
+        "temp_bytes": int(ma.temp_size_in_bytes),
+        "alias_bytes": int(ma.alias_size_in_bytes),
+    }
+    # peak live estimate per device: arguments + outputs + temps (aliased
+    # buffers counted once via alias_size)
+    peak = (per_dev["argument_bytes"] + per_dev["output_bytes"]
+            + per_dev["temp_bytes"] - per_dev["alias_bytes"])
+    row = {
+        "leg": name,
+        **per_dev,
+        "peak_estimate_gb": round(peak / 1e9, 2),
+        "fits_v5p_hbm": bool(peak < budget),
+        "lower_seconds": round(t_lower, 1),
+        "compile_seconds": round(t_compile, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=48,
+                    help="3-D grid side (48^3 = 110592 ~ 1e5 points; must "
+                         "tile the 8-device mesh)")
+    ap.add_argument("--nu", type=int, default=1)
+    ap.add_argument("--panel", type=int, default=16384,
+                    help="distributed QR panel size (the unrolled panel "
+                         "loop sets HLO size; big panels keep the graph "
+                         "compilable at these column counts)")
+    ap.add_argument("--legs",
+                    default="step,step_two_qr,init,init_sharded,steady,"
+                            "steady_two_qr,steady_solve")
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--qr-loop", default="unrolled",
+                    choices=("unrolled", "scan"),
+                    help="panel-sweep body of the sharded-output QR legs "
+                         "(scan bounds live temps at two generations of "
+                         "the local block)")
+    args = ap.parse_args()
+
+    from pnmol_tpu.parallel import sharded_filter, sharded_linalg
+    from pnmol_tpu.solvers import white as white_module
+
+    P = args.devices
+    mesh = Mesh(np.array(jax.devices()[:P]).reshape(P), ("space",))
+    side = args.side
+    d = side ** 3
+    b = side ** 3 - (side - 2) ** 3  # boundary points of the cube
+    # boundary rows must tile the mesh for the row-sharded E_bc placement;
+    # round up (the analysis only needs representative shapes)
+    b += (-b) % P
+    n = args.nu + 1
+    D = n * d
+    m = d + b
+    f32 = jnp.float32
+    print(json.dumps({"config": {"grid": [side] * 3, "d": d, "D": D,
+                                 "m": m, "b": b, "nu": args.nu,
+                                 "devices": P, "panel": args.panel,
+                                 "dtype": "float32"}}), flush=True)
+
+    col = NamedSharding(mesh, PartitionSpec(None, "space"))
+    row = NamedSharding(mesh, PartitionSpec("space", None))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    cache_sds = white_module.WhiteSolverCache(
+        A1d=sds((n, n), repl),
+        Ql=sds((D, D), col),
+        L=sds((d, d), row),
+        B=sds((b, d), row),
+        E_bc_sqrtm=sds((m, m), row),
+    )
+    rows_out = []
+    legs = set(args.legs.split(","))
+
+    if "step" in legs:
+        step_fn = sharded_filter.make_space_sharded_white_step(
+            cache=cache_sds, num_derivatives=args.nu, mesh=mesh,
+            distributed_qr=True, panel_size=args.panel,
+        )
+        rows_out.append(analyze("distributed_qr_step", lambda: (
+            step_fn.func.lower(
+                cache_sds, sds((n, d), repl), sds((D, D), col),
+                sds((), repl), sds((), repl),
+            )
+        )))
+
+    if "step_two_qr" in legs:
+        step2_fn = sharded_filter.make_space_sharded_white_step(
+            cache=cache_sds, num_derivatives=args.nu, mesh=mesh,
+            distributed_qr=True, panel_size=args.panel, two_qr=True,
+            qr_loop=args.qr_loop,
+        )
+        rows_out.append(analyze("distributed_two_qr_step", lambda: (
+            step2_fn.func.lower(
+                cache_sds, sds((n, d), repl), sds((D, D), col),
+                sds((), repl), sds((), repl),
+            )
+        )))
+
+    if "init" in legs:
+        chol = jax.jit(functools.partial(
+            sharded_linalg.blocked_cholesky, mesh=mesh,
+            panel_size=args.panel,
+        ))
+        rows_out.append(analyze("init_blocked_cholesky_gram", lambda: (
+            chol.lower(sds((d, d), row))
+        )))
+        qr = jax.jit(functools.partial(
+            sharded_linalg.blocked_qr_r, mesh=mesh, panel_size=args.panel,
+        ))
+        # init pre-array of the reduced derivative-{0,1} update:
+        # (2d + m) x (m + 2d) row-sharded (solvers/white.py
+        # reduced_init_pde_update)
+        rows_out.append(analyze("init_blocked_panel_qr", lambda: (
+            qr.lower(sds((2 * d + m, m + 2 * d), row))
+        )))
+
+    if "init_sharded" in legs:
+        qr_sh = jax.jit(functools.partial(
+            sharded_linalg.blocked_qr_r_sharded, mesh=mesh,
+            panel_size=args.panel, loop=args.qr_loop,
+        ))
+        rows_out.append(analyze("init_blocked_panel_qr_sharded", lambda: (
+            qr_sh.lower(sds((2 * d + m, m + 2 * d), row))
+        )))
+
+    if "steady" in legs:
+        fact = sharded_filter.make_distributed_factorization(
+            mesh=mesh, panel_size=args.panel,
+        )
+        converge = jax.jit(functools.partial(
+            white_module.converge_white_steady_state,
+            num_derivatives=args.nu, fused=True, factorization=fact,
+            tol=1e-5, max_iters=2,
+        ))
+        rows_out.append(analyze("steady_riccati_chunk", lambda: (
+            converge.lower(cache_sds, sds((D, D), col), sds((), repl))
+        )))
+
+    if "steady_two_qr" in legs:
+        fact2 = sharded_filter.make_distributed_factorization(
+            mesh=mesh, panel_size=args.panel, qr_loop=args.qr_loop,
+        )
+        converge2 = jax.jit(functools.partial(
+            white_module.converge_white_steady_state,
+            num_derivatives=args.nu, fused=False, factorization=fact2,
+            tol=1e-5, max_iters=2,
+        ))
+        rows_out.append(analyze("steady_riccati_chunk_two_qr", lambda: (
+            converge2.lower(cache_sds, sds((D, D), col), sds((), repl))
+        )))
+
+    if "steady_solve" in legs:
+        steady_sds = white_module.SteadyStateCache(
+            cov_inf=sds((D, D), col),
+            L21=sds((D, m), row),
+            Sl=sds((m, m), row),
+            Sl_inv=sds((m, m), row),
+            err_vec=sds((d,), repl),
+            iterations=jax.ShapeDtypeStruct((), jnp.int32),
+            delta=sds((), repl),
+        )
+        solve = sharded_filter.make_space_sharded_steady_solve(
+            cache=cache_sds, steady=steady_sds, num_derivatives=args.nu,
+            mesh=mesh, dt=1e-3, num_steps=8,
+        )
+        # the maker binds (cache, steady) via partial; lower the jitted core
+        rows_out.append(analyze("steady_mean_only_solve", lambda: (
+            solve.func.lower(cache_sds, steady_sds, sds((n, d), repl),
+                             sds((), repl))
+        )))
+
+    out = {
+        "config": {"grid": [side] * 3, "d": d, "D": D, "m": m, "nu": args.nu,
+                   "devices": P, "panel_size": args.panel,
+                   "ndev_flag": _ndev, "qr_loop": args.qr_loop,
+                   "dtype": "float32",
+                   "budget": "v5p 95 GB HBM per chip (BASELINE.md)"},
+        "note": ("compile-only GSPMD evidence on a virtual 8-device CPU "
+                 "mesh; per-device bytes from compiled.memory_analysis(). "
+                 "Temps are XLA:CPU's schedule — indicative, not TPU-exact."),
+        "legs": rows_out,
+    }
+    suffix = f"_p{P}" if P != 8 else ""
+    if args.qr_loop != "unrolled":
+        suffix += f"_{args.qr_loop}"
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_artifacts",
+                        f"memory_analysis_n{d}{suffix}.json")
+    with open(os.path.abspath(path), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"artifact": os.path.abspath(path)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,25 +63,15 @@ def _qr_solve(W, *rhs):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def sda(A, G, Q, *, tol=1e-12, max_iters=64):
-    """Solve ``Sigma = A Sigma (I + G Sigma)^{-1} A^T + Q`` by doubling.
-
-    Parameters: ``A`` (D, D) transition, ``G = H^T R^{-1} H`` (D, D) PSD
-    information matrix, ``Q`` (D, D) PSD process noise. Returns
-    :class:`SDAResult`; ``sigma`` is the PREDICTED-covariance fixed point
-    (apply one measurement update for the filtered one).
-
-    Stops when the relative max-abs change of the iterate falls below
-    ``tol`` or after ``max_iters`` doublings — iteration ``k`` covers
-    ``2^k`` recursion steps, so 64 is astronomically more than any mixing
-    time; typical exit is ~15-25.
-    """
-    dtype = Q.dtype
-    eye = jnp.eye(Q.shape[0], dtype=dtype)
+@functools.partial(jax.jit, static_argnames=("chunk",),
+                   donate_argnums=(0, 1, 2))
+def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk):
+    """Run up to ``chunk`` doubling iterations on device (donated carries)."""
+    dtype = Hk.dtype
+    eye = jnp.eye(Hk.shape[0], dtype=dtype)
 
     def body(carry):
-        Ak, Gk, Hk, it, _ = carry
+        Ak, Gk, Hk, it, local, _ = carry
         W = eye + Gk @ Hk
         WinvA, WinvG = _qr_solve(W, Ak, Gk)
         A_new = Ak @ WinvA
@@ -94,25 +84,60 @@ def sda(A, G, Q, *, tol=1e-12, max_iters=64):
         delta = jnp.max(jnp.abs(H_new - Hk)) / (
             jnp.max(jnp.abs(H_new)) + jnp.finfo(dtype).tiny
         )
-        return A_new, G_new, H_new, it + 1, delta
+        return A_new, G_new, H_new, it + 1, local + 1, delta
 
     def cond(carry):
-        _, _, _, it, delta = carry
+        _, _, _, it, local, delta = carry
         return jnp.logical_and(
-            it < max_iters, jnp.logical_or(it < 1, delta >= tol)
+            local < chunk, jnp.logical_or(it < 1, delta >= tol)
         )
 
-    init = (
-        A.T.astype(dtype),
-        G.astype(dtype),
-        Q,
-        jnp.zeros((), jnp.int32),
-        jnp.asarray(jnp.inf, dtype),
-    )
+    init = (Ak, Gk, Hk, it, jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, dtype))
     with jax.default_matmul_precision("highest"):
-        Ak, Gk, Hk, iters, delta = jax.lax.while_loop(cond, body, init)
+        Ak, Gk, Hk, it, _, delta = jax.lax.while_loop(cond, body, init)
+    return Ak, Gk, Hk, it, delta
+
+
+def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None):
+    """Solve ``Sigma = A Sigma (I + G Sigma)^{-1} A^T + Q`` by doubling.
+
+    Parameters: ``A`` (D, D) transition, ``G = H^T R^{-1} H`` (D, D) PSD
+    information matrix, ``Q`` (D, D) PSD process noise. Returns
+    :class:`SDAResult`; ``sigma`` is the PREDICTED-covariance fixed point
+    (apply one measurement update for the filtered one).
+
+    Stops when the relative max-abs change of the iterate falls below
+    ``tol`` or after ``max_iters`` doublings — iteration ``k`` covers
+    ``2^k`` recursion steps, so 64 is astronomically more than any mixing
+    time; typical exit is ~15-25.
+
+    ``chunk`` bounds how many doublings run per device execution, with a
+    host-side convergence check between chunks (same reason as the chunked
+    Riccati recursion: remote relays kill executions past ~5 minutes, and
+    one f64 doubling at D ~ 5e3 is tens of seconds of emulated-f64 QR +
+    matmuls — observed TPU worker crash from one unchunked while_loop).
+    Default: 4 per execution on accelerators, unchunked on CPU. The
+    carried triple is DONATED between chunks, so only one generation of
+    the three (D, D) iterates is ever resident.
+    """
+    dtype = Q.dtype
+    if chunk is None:
+        chunk = max_iters if jax.default_backend() == "cpu" else 4
+    chunk = max(1, min(chunk, max_iters))
+
+    Ak = A.T.astype(dtype)
+    Gk = G.astype(dtype) + 0  # donated carry: never consume the caller's G
+    Hk = Q + 0  # donated carry: never consume the caller's Q buffer
+    it = jnp.zeros((), jnp.int32)
+    delta = float("inf")
+    while int(it) < max_iters and (int(it) == 0 or delta >= tol):
+        Ak, Gk, Hk, it, delta_arr = _sda_chunk(
+            Ak, Gk, Hk, it, jnp.asarray(tol, dtype), chunk=chunk
+        )
+        delta = float(delta_arr)
     return SDAResult(
-        sigma=Hk, iterations=iters, delta=delta,
+        sigma=Hk, iterations=it, delta=delta_arr,
         anorm=jnp.max(jnp.abs(Ak)),
     )
 

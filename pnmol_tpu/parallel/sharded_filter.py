@@ -54,7 +54,8 @@ def pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, *, mesh, axis="space",
     return R3.T, gain, R1.T
 
 
-def make_distributed_factorization(*, mesh, axis="space", panel_size=None):
+def make_distributed_factorization(*, mesh, axis="space", panel_size=None,
+                                   qr_loop="unrolled"):
     """Distributed pre-array factorization hook with a ``.blocks`` variant.
 
     ``.blocks`` returns the raw factor blocks ``(posterior, L21, L1)``
@@ -62,6 +63,11 @@ def make_distributed_factorization(*, mesh, axis="space", panel_size=None):
     ``L21 @ (L1^{-1} z)`` from the calibration's whitened residual, so the
     sharded matrix triangular solve (one per step in the legacy contract)
     disappears entirely from the distributed hot loop.
+
+    ``qr_loop`` selects the panel-sweep body of the two-QR split's
+    sharded-output factorizations (``"scan"`` bounds live temps at two
+    generations of the local block — the N=1e5 memory-bounded setting;
+    see :func:`sharded_linalg.blocked_qr_r_sharded`).
     """
 
     def blocks(HACl, ACl, HQl, Ql, R_noise):
@@ -81,13 +87,53 @@ def make_distributed_factorization(*, mesh, axis="space", panel_size=None):
         return pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, mesh=mesh,
                                     axis=axis, panel_size=panel_size)
 
+    # --- two-QR split (fused=False in the step kernels) -----------------
+    # The fused pre-array is ((2D+m) x (m+D)): at the N=1e5 3-D config its
+    # per-device temps alone are ~1 TB (bench_artifacts/
+    # memory_analysis_n110592.json "distributed_qr_step"). The split runs
+    # the propagate LQ of the (D, 2D) pre-array and the update LQ of the
+    # ((m+D) x (m+D)) one SEQUENTIALLY, each through the sharded-output
+    # panel QR, so nothing wider than (D, 2D) is ever live and no O(cols^2)
+    # factor is ever replicated.
+    def propagate(ACl, Ql):
+        stacked = jnp.concatenate((ACl.T, Ql.T), axis=0)  # (2D, D)
+        R = sharded_linalg.blocked_qr_r_sharded(
+            stacked, mesh, axis=axis, panel_size=panel_size, loop=qr_loop
+        )
+        return R.T  # (D, D) lower-triangular, column-sharded
+
+    def update_blocks(HClp, Clp, R_noise):
+        m = HClp.shape[0]
+        D = Clp.shape[0]
+        top = jnp.concatenate(
+            (R_noise.T, jnp.zeros((m, D), dtype=R_noise.dtype)), axis=1
+        )
+        bottom = jnp.concatenate((HClp.T, Clp.T), axis=1)
+        stacked = jnp.concatenate((top, bottom), axis=0)  # (m+D, m+D)
+        R = sharded_linalg.blocked_qr_r_sharded(
+            stacked, mesh, axis=axis, panel_size=panel_size, loop=qr_loop
+        )
+        return R[m:, m:].T, R[:m, m:].T, R[:m, :m].T
+
+    def update_from_products(HClp, Clp, R_noise):
+        Cl_new, L21, Sl = update_blocks(HClp, Clp, R_noise)
+        # legacy contract: explicit gain K = L21 Sl^{-1} (via S_xz = K S)
+        K = jax.scipy.linalg.solve_triangular(
+            Sl.T, L21.T, lower=False
+        ).T
+        return Cl_new, K, Sl
+
+    update_from_products.blocks = update_blocks
     factorization.blocks = blocks
+    factorization.propagate = propagate
+    factorization.update_from_products = update_from_products
     return factorization
 
 
 def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
                                   df=None, linear=True, distributed_qr=False,
-                                  panel_size=None):
+                                  panel_size=None, two_qr=False,
+                                  qr_loop="unrolled"):
     """White-noise EK1 step sharded over the mesh's 'space' axis.
 
     Returns a jitted ``step(mean, cov, t_next, dt)``. With
@@ -96,11 +142,18 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
     otherwise rows are sharded and GSPMD manages the QR. The cache should be
     placed with :func:`shard_cache` (matching ``distributed_qr``) for
     zero-copy execution.
+
+    ``two_qr=True`` (with ``distributed_qr``) splits predict and update into
+    two sequential sharded-output panel factorizations instead of one fused
+    pre-array — the memory-bounded configuration for the N=1e5 3-D config
+    (the fused pre-array's per-device temps are ~1 TB there; see
+    make_distributed_factorization). Place the cache with
+    ``shard_cache(..., shard_operands=True)`` at that scale.
     """
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
         factorization = make_distributed_factorization(
-            mesh=mesh, panel_size=panel_size
+            mesh=mesh, panel_size=panel_size, qr_loop=qr_loop
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
@@ -117,7 +170,7 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
         new_mean, new_cov, err, ref, diff = white_module.white_attempt_step(
             cache_arg, mean, cov, t_next, dt,
             num_derivatives=num_derivatives, f=f, df=df, linear=linear,
-            fused=True, factorization=factorization,
+            fused=not two_qr, factorization=factorization,
         )
         new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding)
         # the mean is (n, d)-small and part of the step's replicated contract
@@ -511,18 +564,32 @@ def make_space_sharded_steady_solve(*, cache, steady, num_derivatives, mesh,
     return functools.partial(solve, cache, steady)
 
 
-def shard_cache(cache, mesh, distributed_qr=False):
+def shard_cache(cache, mesh, distributed_qr=False, shard_operands=False):
     """Place the step cache on the mesh: Ql sharded to match the step's
-    covariance layout, small operands replicated."""
+    covariance layout, small operands replicated.
+
+    ``shard_operands=True`` additionally ROW-shards every other 2-D cache
+    operand (``L``, ``B``, ``E_bc_sqrtm``) whose leading dim tiles the
+    mesh. At the N=1e5 3-D config a replicated ``L`` is ~40 GB and a
+    replicated ``E_bc`` ~50 GB PER DEVICE — the difference between the
+    sharded step fitting a v5p chip and not (docs/SCALE.md "N=1e5
+    evidence"); at small/medium N replication avoids the extra
+    collectives and stays the default.
+    """
     if distributed_qr:
         ql_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
         ql_sharding = NamedSharding(mesh, PartitionSpec("space", None))
     replicated = NamedSharding(mesh, PartitionSpec())
+    row = NamedSharding(mesh, PartitionSpec("space", None))
+    space = mesh.shape["space"]
 
     def place(name, value):
         if name == "Ql":
             return jax.device_put(value, ql_sharding)
+        if (shard_operands and getattr(value, "ndim", 0) == 2
+                and value.shape[0] % space == 0):
+            return jax.device_put(value, row)
         return jax.device_put(value, replicated)
 
     return type(cache)(**{k: place(k, v) for k, v in cache._asdict().items()})

@@ -112,8 +112,13 @@ def blocked_qr_r(stacked, mesh, axis="space", panel_size=None, reorthogonalize=T
             """
             b = panel_block.shape[1]
             gram = jax.lax.psum(panel_block.T @ panel_block, axis)
-            scale = jnp.trace(gram) / b + jnp.asarray(
-                jnp.finfo(dtype).tiny, dtype
+            # floor at tiny/eps: an exactly-zero panel (rank-deficient or
+            # zero-padded input) otherwise gets a SUBNORMAL jitter whose
+            # Cholesky underflows to 0 -> division by zero in the solve
+            scale = jnp.maximum(
+                jnp.trace(gram) / b,
+                jnp.asarray(jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps,
+                            dtype),
             )
             gram = gram + (jitter * scale) * jnp.eye(b, dtype=dtype)
             r = jnp.linalg.cholesky(gram).T  # upper
@@ -156,6 +161,178 @@ def blocked_qr_r(stacked, mesh, axis="space", panel_size=None, reorthogonalize=T
         check_vma=False,
     )
     return fn(stacked)
+
+
+def blocked_qr_r_sharded(stacked, mesh, axis="space", panel_size=None,
+                         reorthogonalize=True, loop="unrolled"):
+    """Distributed R factor with a ROW-SHARDED output.
+
+    Same panel factorization as :func:`blocked_qr_r` (shifted CholeskyQR3
+    panels + BGS2 trailing updates), but the R accumulates sharded: device
+    ``p`` holds rows ``[p*L, (p+1)*L)`` of the (cols, cols) R and only ever
+    materializes its own (L, cols) slice. The replicated-R variant holds
+    the FULL R on every device — ~476 GB per device at the N=1e5 init
+    pre-array (bench_artifacts/memory_analysis_n110592.json "init_blocked_
+    panel_qr"), which is THE wall between "code-complete" and "fits a v5p"
+    for the BASELINE N=1e5 config. Panel boundaries are aligned to the row
+    partition (cols padded to P*L, L a multiple of the panel size), so each
+    panel's R rows have exactly one owner; non-owners contribute an exact
+    zero via a masked add.
+
+    Returns R (cols, cols) upper-triangular, rows sharded over ``axis``;
+    ``R^T R = stacked^T stacked`` exactly as in :func:`blocked_qr_r`.
+
+    ``loop="scan"`` runs the panel sweep as ONE ``lax.scan`` body instead of
+    an unrolled Python loop: the trailing update goes full-width with a
+    column mask (finalized columns get an exact-zero projection), which
+    costs ~2x the shrinking-trailing BGS FLOPs but bounds live memory at
+    TWO generations of the local block — the unrolled sweep keeps one
+    generation PER PANEL live under XLA:CPU's buffer assignment (~1 TB of
+    temps per device at the N=1e5 pre-arrays;
+    bench_artifacts/memory_analysis_n110592.json). Same scan-bodied-sweep
+    medicine as the single-chip Pallas Householder engine (round 3).
+    """
+    rows, cols = stacked.shape
+    P = mesh.shape[axis]
+    L = -(-cols // P)
+    if panel_size is None:
+        panel_size = min(L, 256)
+    b = max(1, min(panel_size, L))
+    L = -(-L // b) * b  # L a multiple of the panel size
+    cols_pad = P * L
+    if cols_pad > cols:
+        stacked = jnp.pad(stacked, ((0, 0), (0, cols_pad - cols)))
+    pad = (-rows) % P
+    if pad:
+        stacked = jnp.concatenate(
+            (stacked, jnp.zeros((pad, cols_pad), dtype=stacked.dtype)),
+            axis=0,
+        )
+
+    panels = [(j, j + b) for j in range(0, cols_pad, b)]
+
+    def local_factorize(block):
+        dtype = block.dtype
+        R_loc = jnp.zeros((L, cols_pad), dtype=dtype)
+        eps = jnp.finfo(dtype).eps
+        me = jax.lax.axis_index(axis)
+
+        def cholqr(panel_block, jitter):
+            # see blocked_qr_r.cholqr — identical numerics (the round-1
+            # jitter drops out of the final R exactly)
+            nb = panel_block.shape[1]
+            gram = jax.lax.psum(panel_block.T @ panel_block, axis)
+            scale = jnp.maximum(
+                jnp.trace(gram) / nb,
+                jnp.asarray(jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps,
+                            dtype),
+            )
+            gram = gram + (jitter * scale) * jnp.eye(nb, dtype=dtype)
+            r = jnp.linalg.cholesky(gram).T
+            q = jax.scipy.linalg.solve_triangular(
+                r.T, panel_block.T, lower=True
+            ).T
+            return q, r
+
+        for (j0, j1) in panels:
+            panel_block = jax.lax.dynamic_slice_in_dim(block, j0, b, axis=1)
+            q, r1 = cholqr(panel_block, jitter=jnp.sqrt(eps))
+            q, r2 = cholqr(q, jitter=16.0 * eps)
+            q, r3 = cholqr(q, jitter=16.0 * eps)
+            r_panel = r3 @ (r2 @ r1)
+            band = jnp.zeros((b, cols_pad), dtype=dtype)
+            band = band.at[:, j0:j1].set(r_panel)
+            if j1 < cols_pad:
+                trailing = jax.lax.dynamic_slice_in_dim(
+                    block, j1, cols_pad - j1, axis=1
+                )
+                proj = jax.lax.psum(q.T @ trailing, axis)
+                trailing = trailing - q @ proj
+                if reorthogonalize:
+                    proj2 = jax.lax.psum(q.T @ trailing, axis)
+                    trailing = trailing - q @ proj2
+                    proj = proj + proj2
+                band = band.at[:, j1:].set(proj)
+                block = jax.lax.dynamic_update_slice(block, trailing, (0, j1))
+            # masked ADD at a static row offset: the owner contributes the
+            # band, everyone else exact zeros (an overwrite would need a
+            # per-device dynamic index, which dynamic_update_slice clamps)
+            owner = j0 // L
+            row0 = j0 - owner * L
+            masked = jnp.where(me == owner, band, jnp.zeros_like(band))
+            R_loc = R_loc.at[row0:row0 + b, :].add(masked)
+        return R_loc
+
+    def local_factorize_scan(block):
+        dtype = block.dtype
+        eps = jnp.finfo(dtype).eps
+        me = jax.lax.axis_index(axis)
+        col_idx = jnp.arange(cols_pad)
+
+        def cholqr(panel_block, jitter):
+            nb = panel_block.shape[1]
+            gram = jax.lax.psum(panel_block.T @ panel_block, axis)
+            scale = jnp.maximum(
+                jnp.trace(gram) / nb,
+                jnp.asarray(jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps,
+                            dtype),
+            )
+            gram = gram + (jitter * scale) * jnp.eye(nb, dtype=dtype)
+            r = jnp.linalg.cholesky(gram).T
+            q = jax.scipy.linalg.solve_triangular(
+                r.T, panel_block.T, lower=True
+            ).T
+            return q, r
+
+        def body(carry, j0):
+            block, R_loc = carry
+            panel_block = jax.lax.dynamic_slice(
+                block, (0, j0), (block.shape[0], b)
+            )
+            q, r1 = cholqr(panel_block, jitter=jnp.sqrt(eps))
+            q, r2 = cholqr(q, jitter=16.0 * eps)
+            q, r3 = cholqr(q, jitter=16.0 * eps)
+            r_panel = r3 @ (r2 @ r1)
+            # full-width trailing update, masked to columns >= j0 + b:
+            # finalized (and own-panel) columns receive an exact zero
+            mask = (col_idx >= j0 + b).astype(dtype)[None, :]
+            proj = jax.lax.psum(q.T @ block, axis) * mask
+            block = block - q @ proj
+            if reorthogonalize:
+                proj2 = jax.lax.psum(q.T @ block, axis) * mask
+                block = block - q @ proj2
+                proj = proj + proj2
+            band = proj
+            band = jax.lax.dynamic_update_slice(band, r_panel, (0, j0))
+            # owner-masked add at a traced row offset: non-owners add an
+            # exact zero at row 0 (a no-op), owners add at their local row
+            owner = j0 // L
+            row0 = jnp.where(me == owner, j0 - owner * L, 0)
+            band = jnp.where(me == owner, band, jnp.zeros_like(band))
+            slab = jax.lax.dynamic_slice(
+                R_loc, (row0, 0), (b, cols_pad)
+            )
+            R_loc = jax.lax.dynamic_update_slice(
+                R_loc, slab + band, (row0, 0)
+            )
+            return (block, R_loc), None
+
+        R0 = jnp.zeros((L, cols_pad), dtype=dtype)
+        starts = jnp.arange(0, cols_pad, b)
+        (block, R_loc), _ = jax.lax.scan(body, (block, R0), starts)
+        return R_loc
+
+    fn = shard_map(
+        local_factorize_scan if loop == "scan" else local_factorize,
+        mesh=mesh,
+        in_specs=PartitionSpec(axis, None),
+        out_specs=PartitionSpec(axis, None),
+        check_vma=False,
+    )
+    R = fn(stacked)
+    if cols_pad > cols:
+        R = R[:cols, :cols]
+    return R
 
 
 def _chol_pad_geometry(d, mesh, axis, panel_size):

@@ -848,3 +848,68 @@ def test_sharded_steady_convergence_chunked_and_promoted(device_mesh):
          ).astype(jnp.float32),
         rtol=5e-3, atol=2e-5,
     )
+
+
+def test_blocked_qr_r_sharded_matches_replicated(device_mesh):
+    """Sharded-output panel QR: same Gram as the replicated-R variant, R
+    upper-triangular, rows actually sharded (nothing O(cols^2) replicated —
+    the N=1e5 init wall, bench_artifacts/memory_analysis_n110592.json)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for rows, cols, ps in ((200, 96, 32), (160, 50, 16), (64, 200, 16)):
+        mat = jnp.asarray(rng.normal(size=(rows, cols)))
+        R_repl = sharded_linalg.blocked_qr_r(mat, device_mesh, panel_size=ps)
+        for loop in ("unrolled", "scan"):
+            R_shrd = sharded_linalg.blocked_qr_r_sharded(
+                mat, device_mesh, panel_size=ps, loop=loop
+            )
+            assert R_shrd.shape == (cols, cols)
+            assert jnp.allclose(R_shrd, jnp.triu(R_shrd), atol=1e-12)
+            assert jnp.allclose(
+                R_shrd.T @ R_shrd, R_repl.T @ R_repl, atol=1e-8
+            )
+
+
+def test_space_sharded_step_two_qr_matches_unsharded(device_mesh):
+    """The TWO-QR distributed split (sequential sharded-output propagate +
+    update factorizations — the memory-bounded N=1e5 configuration)
+    reproduces the single-device step: means exactly, covariance in Gram."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=1.0 / 15, tmax=1.0)
+    solver = white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(0.05),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+    )
+    state = solver.initialize(heat)
+    expected = solver._step_fn(
+        state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05), jnp.asarray(0.05)
+    )
+
+    cache_sharded = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True, shard_operands=True
+    )
+    sharded_step = sharded_filter.make_space_sharded_white_step(
+        cache=cache_sharded, num_derivatives=2, mesh=device_mesh, linear=True,
+        distributed_qr=True, panel_size=16, two_qr=True,
+    )
+    with device_mesh:
+        got = sharded_step(
+            state.y.mean, state.y.cov_sqrtm, jnp.asarray(0.05),
+            jnp.asarray(0.05)
+        )
+    assert jnp.allclose(got[0], expected[0], atol=1e-9)
+    # posterior Gram to the distributed tier's documented eps*cond level:
+    # the update pre-array carries the exactly-updated (near-zero) boundary
+    # directions, whose conditioning amplifies the CholeskyQR3 panels'
+    # roundoff (same order as the sharded adaptive tests' ~5e-6 after 5
+    # steps; the tier is f64-designed — docs/SCALE.md)
+    assert jnp.allclose(
+        got[1] @ got[1].T, expected[1] @ expected[1].T, atol=1e-5
+    )
+    assert jnp.allclose(got[4], expected[4], rtol=1e-6)
+    assert jnp.allclose(got[2], expected[2], rtol=1e-4, atol=1e-12)
+    assert len(got[1].addressable_shards) > 1
