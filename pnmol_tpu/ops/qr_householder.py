@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu only resolves where jaxlib has TPU support compiled in
@@ -1112,9 +1113,14 @@ def make_householder_propagate(
     def interleaved(S1, S2, q):
         D, D1 = S1.shape
         d = D1 // q
-        M = jnp.concatenate(
-            (S1.reshape(D, d, q), S2.reshape(D, d, q)), axis=2
-        ).reshape(D, D1 + S2.shape[1])
+        # interleave point blocks via a constant COLUMN PERMUTATION of the
+        # concatenated pre-array — never through a (D, d, q) reshape: a
+        # trailing dim of q=2 gets padded to the 128-lane tile on TPU, a
+        # 64x memory blowup (compile-time OOM observed at D=2e4: the
+        # f32[2e4,1e4,2] copy "would exceed memory" at 102.4 GB)
+        idx = np.arange(d)[:, None] * q + np.arange(q)[None, :]  # (d, q)
+        perm = np.concatenate((idx, D1 + idx), axis=1).reshape(-1)
+        M = jnp.concatenate((S1, S2), axis=1)[:, perm]
         return _blocked_lq_l_impl(M, band=(2 * q, 2), **kw)
 
     propagate.banded = banded

@@ -15,7 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pnmol_tpu.solvers import pdefilter
-from pnmol_tpu.solvers.white import make_white_step_fn, white_attempt_step
+from pnmol_tpu.solvers.white import (
+    make_steady_state_white_step,
+    make_white_step_fn,
+    white_attempt_step,
+)
 
 
 class EnsembleState(NamedTuple):
@@ -156,4 +160,97 @@ def dt_sweep_final_states(*, cache, num_derivatives, f, df, linear,
     n_steps = jnp.asarray(lengths, dtype=dtype)
     diffusion = diff_sum / n_steps
     cov_scaled = cov * jnp.sqrt(diffusion)[:, None, None]
+    return mean, cov_scaled, diffusion
+
+
+def steady_dt_sweep_final_states(*, cache, num_derivatives, mean0, t0, tmax,
+                                 dts, steady_caches, mesh=None):
+    """The dt-ladder sweep with FROZEN per-lane stationary factors.
+
+    For linear problems at constant dt the full-QR lane step of
+    :func:`dt_sweep_final_states` is pure overhead: every lane's covariance
+    recursion converges to its own (dt-specific) Riccati fixed point, so a
+    calibration grid only needs the mean-only stationary step per lane —
+    O(D*m) instead of O((D+m)^3) per lane-step, which makes figure-3-style
+    dt grids near-free (SURVEY.md §2.2 item 4 + the round-3 steady tier).
+
+    ``steady_caches`` is a batched :class:`~pnmol_tpu.solvers.white.
+    SteadyStateCache` with leading axis E = len(dts) — stack per-dt results
+    of ``converge_white_steady_state`` (one-time init cost, SDA-seeded)
+    with :func:`stack_caches`. Each lane advances with ITS OWN frozen
+    ``(Sl_inv, L21, err_vec)``; masking semantics match
+    :func:`dt_sweep_final_states` exactly.
+
+    Returns ``(means (E, n, d), cov_sqrtms (E, D, D), diffusion_sq (E,))``
+    where the covariance factor of lane i is ``steady_caches.cov_inf[i]``
+    scaled by the lane's calibration — the stationary analog of
+    ``simulate_final_state`` semantics.
+    """
+    dts = [float(dt) for dt in dts]
+    schedules = [
+        pdefilter.constant_step_schedule(t0, tmax, dt) for dt in dts
+    ]
+    lengths = [len(d) for _, d in schedules]
+    max_len = max(lengths)
+    E = len(dts)
+    dtype = mean0.dtype
+
+    ts_next = np.zeros((E, max_len))
+    dts_pad = np.zeros((E, max_len))
+    mask = np.zeros((E, max_len), dtype=bool)
+    for i, (ts, ds) in enumerate(schedules):
+        ts_next[i, : lengths[i]] = ts + ds
+        dts_pad[i, : lengths[i]] = ds
+        ts_next[i, lengths[i]:] = ts[-1] + ds[-1]
+        dts_pad[i, lengths[i]:] = ds[-1]
+        mask[i, : lengths[i]] = True
+
+    ts_next = jnp.asarray(ts_next.T, dtype=dtype)  # (L, E)
+    dts_pad = jnp.asarray(dts_pad.T, dtype=dtype)
+    mask_arr = jnp.asarray(mask.T)
+
+    def single(cache_arg, steady_arg, mean, t_next, dt):
+        fn = make_steady_state_white_step(
+            cache=cache_arg, steady=steady_arg,
+            num_derivatives=num_derivatives,
+        )
+        # the cov argument passes through the stationary step unchanged;
+        # feed a (0,0) dummy so the lane carry stays O(n*d)
+        new_mean, _, _, _, diff = fn(
+            mean, jnp.zeros((0, 0), dtype=mean.dtype), t_next, dt
+        )
+        return new_mean, diff
+
+    lane_step = jax.vmap(single, in_axes=(None, 0, 0, 0, 0))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        shard = NamedSharding(mesh, PartitionSpec("batch"))
+    else:
+        shard = None
+
+    @jax.jit
+    def sweep(cache_arg, steady_arg, mean_b):
+        def body(carry, xs):
+            mean, diff_sum = carry
+            t_next, dt, live = xs
+            new_mean, diff = lane_step(cache_arg, steady_arg, mean, t_next, dt)
+            mean = jnp.where(live[:, None, None], new_mean, mean)
+            diff_sum = diff_sum + jnp.where(live, diff, 0.0)
+            return (mean, diff_sum), None
+
+        if shard is not None:
+            mean_b = jax.lax.with_sharding_constraint(mean_b, shard)
+        diff0 = jnp.zeros((E,), dtype=dtype)
+        (mean, diff_sum), _ = jax.lax.scan(
+            body, (mean_b, diff0), (ts_next, dts_pad, mask_arr)
+        )
+        return mean, diff_sum
+
+    mean_b = jnp.broadcast_to(mean0[None], (E,) + mean0.shape)
+    mean, diff_sum = sweep(cache, steady_caches, mean_b)
+    n_steps = jnp.asarray(lengths, dtype=dtype)
+    diffusion = diff_sum / n_steps
+    cov_scaled = steady_caches.cov_inf * jnp.sqrt(diffusion)[:, None, None]
     return mean, cov_scaled, diffusion

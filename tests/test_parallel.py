@@ -913,3 +913,49 @@ def test_space_sharded_step_two_qr_matches_unsharded(device_mesh):
     assert jnp.allclose(got[4], expected[4], rtol=1e-6)
     assert jnp.allclose(got[2], expected[2], rtol=1e-4, atol=1e-12)
     assert len(got[1].addressable_shards) > 1
+
+
+def test_steady_dt_sweep_matches_sequential(device_mesh):
+    """The frozen-gain dt sweep reproduces each sequential steady-state
+    simulate_final_state: same per-lane stationary factors -> identical
+    mean recursion (the calibration-grid-near-free configuration,
+    VERDICT r3 next-#9)."""
+    from pnmol_tpu.models import examples
+    from pnmol_tpu.odetools import step as step_module
+    from pnmol_tpu.parallel import ensembles
+    from pnmol_tpu.solvers import white
+
+    heat = examples.heat_1d_discretized(dx=0.125, tmax=1.0)
+    dts = [0.5, 0.2, 0.09]
+    seq_solvers, finals, steadies = [], [], []
+    for dt in dts:
+        seq = white.LinearWhiteNoiseEK1(
+            steprule=step_module.Constant(dt),
+            spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+            steady_state=True,
+        )
+        final, _ = seq.simulate_final_state(heat)
+        seq_solvers.append(seq)
+        finals.append(final)
+        steadies.append(seq.steady_cache)
+
+    solver = seq_solvers[0]
+    state = solver.initialize(heat)
+    steady_b = ensembles.stack_caches(steadies)
+    means, covs, diffusion = ensembles.steady_dt_sweep_final_states(
+        cache=solver._cache, num_derivatives=2,
+        mean0=state.y.mean, t0=heat.t0, tmax=heat.tmax, dts=dts,
+        steady_caches=steady_b, mesh=device_mesh,
+    )
+    for i, dt in enumerate(dts):
+        final = finals[i]
+        assert jnp.allclose(means[i], final.y.mean, atol=1e-10), f"dt={dt}"
+        assert jnp.allclose(
+            diffusion[i], final.diffusion_squared_local, rtol=1e-9
+        )
+        # stationary-mode covariance semantics: frozen fixed point x
+        # the lane's calibration
+        expected_cov = steadies[i].cov_inf * jnp.sqrt(diffusion[i])
+        assert jnp.allclose(
+            covs[i] @ covs[i].T, expected_cov @ expected_cov.T, atol=1e-9
+        )
