@@ -102,11 +102,16 @@ NU = int(os.environ.get("PNMOL_BENCH_NU", "2"))
 FACTORIZATION = os.environ.get("PNMOL_BENCH_FACTORIZATION", "householder")
 # Structured (banded/interleaved) propagate for the two-QR pipeline: the
 # propagate pre-array [A@Cl | Ql] is banded in the point-major layout
-# (docs/SCALE.md round 3). "auto" = interleaved whenever the two-QR
-# Householder split runs (the large-N configuration).
+# (docs/SCALE.md round 3). "auto" = BANDED whenever the two-QR Householder
+# split runs (the large-N configuration): banded windows the sweep on the
+# natural column order with no extra copies, while interleaved needs a
+# (D, 2D) column-permuted copy of the propagate pre-array — ~3.2 GB extra
+# live at N=1e4, which pushes the run program over the 16 GB chip (round-4
+# measurement attempt; interleaved's end-to-end number lives at N=5184
+# where it fits — docs/SCALE.md round 4).
 _BAND_ENV = os.environ.get("PNMOL_BENCH_PROPAGATE_BAND", "auto")
 if _BAND_ENV == "auto":
-    PROPAGATE_BAND = None if FUSED else "interleaved"
+    PROPAGATE_BAND = None if FUSED else "banded"
 else:
     PROPAGATE_BAND = None if _BAND_ENV in ("", "none") else _BAND_ENV
 

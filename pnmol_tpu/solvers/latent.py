@@ -20,6 +20,7 @@ white solver, with a latent-aware measurement operator.
 """
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt, stacked_ssm
+from pnmol_tpu.utils import profiling
 from pnmol_tpu.solvers import pdefilter
 from pnmol_tpu.solvers.white import SteadyStateCache, structured_init_y0
 
@@ -482,6 +484,10 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
 
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
+        # PNMOL_INIT_PROFILE=1 -> self.init_profile (see the white base)
+        mark = profiling.PhaseTimer(
+            os.environ.get("PNMOL_INIT_PROFILE") == "1"
+        )
 
         if self._factorization_spec == "householder" and (
             self._factorization_d != d
@@ -537,9 +543,9 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             )
             return chol_gram, u0, y0_blocks[0]
 
-        chol_gram, u0, C00 = wrap(_phase_prior)(
+        chol_gram, u0, C00 = mark("prior_gram_cholesky_y0", wrap(_phase_prior)(
             pde.mesh_spatial.points, jnp.asarray(pde.y0)
-        )
+        ))
 
         # [Phase 2: measurement] stacked factor over 2d points (point-major:
         # state points first). The latent prior kron(E_sqrtm, s I_n) is
@@ -599,10 +605,11 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             ].add(nugget)
             return B0, B1, HCsub, nugget_pde, z_pde
 
-        B0, B1, HCsub, nugget_pde, z_pde = wrap(_phase_measure)(
-            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm,
-            jnp.asarray(nugget_scale, dtype),
-        )
+        B0, B1, HCsub, nugget_pde, z_pde = mark(
+            "measure_assembly", wrap(_phase_measure)(
+                chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm,
+                jnp.asarray(nugget_scale, dtype),
+            ))
         del C00
 
         # [Phase 3: init pre-array QR] on the derivative-{0,1} sub-stack
@@ -618,7 +625,9 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
                 blocks, HCsub, nugget_pde, z_pde, u0_stack, init_update
             )
 
-        m0, C0 = wrap_donate(_phase_qr)(HCsub, B0, nugget_pde, B1, z_pde, u0)
+        m0, C0 = mark("init_update_qr", wrap_donate(_phase_qr)(
+            HCsub, B0, nugget_pde, B1, z_pde, u0
+        ))
         del B0, HCsub, nugget_pde
 
         if self.propagate_band == "interleaved" and not self.fused:
@@ -631,7 +640,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             if d >= 2048:
                 donate = () if jax.default_backend() == "cpu" else (0,)
                 tri = jax.jit(tri, donate_argnums=donate)
-            C0 = tri(C0)
+            C0 = mark("interleave_retriangularize", tri(C0))
 
         # [Phase 4: step cache] stacked prior collapsed to a single IWP over
         # 2d points; Ql assembled last so it is never co-resident with the
@@ -659,7 +668,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             )
             return merged.process_noise_factor
 
-        Ql = wrap(_phase_aux)(chol_gram, pde.E_sqrtm)
+        Ql = mark("aux_Ql", wrap(_phase_aux)(chol_gram, pde.E_sqrtm))
         A1d_np, _ = iwp.system_matrices_1d(num_derivatives, str(dtype))
         self._cache = LatentSolverCache(
             A1d=jnp.asarray(A1d_np), Ql=Ql, L=pde.L, B=pde.B
@@ -718,6 +727,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
                 factorization=self.factorization,
                 propagate_band=self.propagate_band,
             )
+            mark("steady_riccati", self.steady_cache)
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_latent_step(
                 cache=self._cache,
@@ -725,6 +735,7 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
                 num_derivatives=num_derivatives,
             )
 
+        self.init_profile = mark.profile
         # Point-major glue: [state (n,d) | latent (n,d)] along the last axis.
         m0_state, m0_latent = jnp.split(m0, 2)
         mean0 = jnp.concatenate(

@@ -20,6 +20,7 @@ while-loop drivers in :mod:`pnmol_tpu.solvers.pdefilter`.
 """
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -28,6 +29,7 @@ import jax.scipy.linalg
 
 from pnmol_tpu.ops import iwp, rv, sqrt
 from pnmol_tpu.solvers import pdefilter
+from pnmol_tpu.utils import profiling
 
 
 class WhiteSolverCache(NamedTuple):
@@ -939,6 +941,12 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
 
     def initialize(self, pde):
         n, d = self.num_derivatives + 1, pde.L.shape[0]
+        # PNMOL_INIT_PROFILE=1: forced-completion wall-clock per setup
+        # phase (large-N init is the dominant one-time cost — docs/SCALE.md
+        # round-4 "Initialization breakdown"); self.init_profile holds it
+        mark = profiling.PhaseTimer(
+            os.environ.get("PNMOL_INIT_PROFILE") == "1"
+        )
 
         if self._factorization_spec == "householder" and (
             self._factorization_d != d
@@ -999,9 +1007,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             )
             return chol_gram, u0, y0_blocks[0]
 
-        chol_gram, u0, C00 = wrap(_phase_prior)(
+        chol_gram, u0, C00 = mark("prior_gram_cholesky_y0", wrap(_phase_prior)(
             pde.mesh_spatial.points, jnp.asarray(pde.y0)
-        )
+        ))
 
         def _phase_measure(chol_gram, u0, C00, L, B, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
@@ -1049,9 +1057,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             E_bc_nugget = E_bc.at[mdiag, mdiag].add(nugget_scale)
             return A1d, B1, HCsub, E_bc_nugget, z_pde
 
-        A1d, B1, HCsub, E_bc_nugget, z_pde = wrap(_phase_measure)(
-            chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
-        )
+        A1d, B1, HCsub, E_bc_nugget, z_pde = mark(
+            "measure_assembly", wrap(_phase_measure)(
+                chol_gram, u0, C00, pde.L, pde.B, pde.E_sqrtm, pde.R_sqrtm
+            ))
 
         # The init pre-array QR gets a phase of its own with DONATED
         # operands: HCsub / C00 / E_bc_nugget free into the factorization
@@ -1062,9 +1071,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 blocks, HCsub, E_bc_nugget, z_pde, u0, init_update
             )
 
-        m0, C0 = wrap_donate(_phase_qr)(
+        m0, C0 = mark("init_update_qr", wrap_donate(_phase_qr)(
             HCsub, C00, E_bc_nugget, B1, z_pde, u0
-        )
+        ))
         del C00, HCsub, E_bc_nugget
 
         if self.propagate_band == "interleaved" and not self.fused:
@@ -1080,7 +1089,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             if d >= 4096:
                 donate = () if jax.default_backend() == "cpu" else (0,)
                 tri = jax.jit(tri, donate_argnums=donate)
-            C0 = tri(C0)
+            C0 = mark("interleave_retriangularize", tri(C0))
 
         def _phase_aux(chol_gram, E_sqrtm, R_sqrtm):
             trans = iwp.IntegratedWienerTransition(
@@ -1093,7 +1102,9 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 jax.scipy.linalg.block_diag(E_sqrtm, R_sqrtm),
             )
 
-        Ql, E_bc = wrap(_phase_aux)(chol_gram, pde.E_sqrtm, pde.R_sqrtm)
+        Ql, E_bc = mark("aux_Ql_Ebc", wrap(_phase_aux)(
+            chol_gram, pde.E_sqrtm, pde.R_sqrtm
+        ))
 
         self.iwp = iwp.IntegratedWienerTransition(
             num_derivatives=self.num_derivatives,
@@ -1153,6 +1164,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 propagate_band=self.propagate_band,
                 meascov_dt_scaled=self.meascov_dt_scaled,
             )
+            mark("steady_riccati", self.steady_cache)
             C0 = self.steady_cache.cov_inf
             self._step_fn = make_steady_state_white_step(
                 cache=self._cache,
@@ -1160,6 +1172,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 num_derivatives=self.num_derivatives,
             )
 
+        self.init_profile = mark.profile
         y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
         return pdefilter.PDEFilterState(
             t=jnp.asarray(pde.t0, dtype=m0.dtype),

@@ -12,6 +12,7 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -207,3 +208,37 @@ def roofline(d: int, nu: int, b: int, *, fused: bool = True,
             bf16_peak_tflops * 1e12
         ),
     }
+
+def force_complete(tree):
+    """Force REAL completion of every array in ``tree`` via a data-dependent
+    scalar pull. ``block_until_ready`` can return before remote (relay)
+    device work completes — observed impossible multi-TB/s readings on the
+    axon tunnel — so timing code must read a value that depends on the
+    result instead."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            # sum of a flat slice: O(n) device work, one scalar transfer
+            total += float(jnp.sum(jnp.ravel(leaf)[:: max(1, leaf.size // 4096)]))
+    return total
+
+
+class PhaseTimer:
+    """Env-gated wall-clock breakdown of a multi-phase setup path.
+
+    ``PhaseTimer(enabled)``: call ``timer(name, value)`` after each phase —
+    when enabled it forces completion of ``value`` and records the seconds
+    since the previous mark in ``timer.profile``; when disabled it is a
+    zero-cost passthrough (no completion barrier is added)."""
+
+    def __init__(self, enabled: bool):
+        self.profile = {} if enabled else None
+        self._last = time.perf_counter() if enabled else None
+
+    def __call__(self, name, value):
+        if self.profile is not None:
+            force_complete(value)
+            now = time.perf_counter()
+            self.profile[name] = round(now - self._last, 3)
+            self._last = now
+        return value
