@@ -153,6 +153,8 @@ def main():
         )))
 
     if "step_two_qr" in legs:
+        # two_qr also attaches the memory-bounded measurement hooks (ring
+        # matmul + row-sharded innovation whitening — round 4)
         step2_fn = sharded_filter.make_space_sharded_white_step(
             cache=cache_sds, num_derivatives=args.nu, mesh=mesh,
             distributed_qr=True, panel_size=args.panel, two_qr=True,
@@ -208,6 +210,7 @@ def main():
     if "steady_two_qr" in legs:
         fact2 = sharded_filter.make_distributed_factorization(
             mesh=mesh, panel_size=args.panel, qr_loop=args.qr_loop,
+            memory_bounded=True,
         )
         converge2 = jax.jit(functools.partial(
             white_module.converge_white_steady_state,

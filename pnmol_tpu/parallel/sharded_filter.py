@@ -55,7 +55,8 @@ def pre_array_blocked_qr(HACl, ACl, HQl, Ql, R_noise, *, mesh, axis="space",
 
 
 def make_distributed_factorization(*, mesh, axis="space", panel_size=None,
-                                   qr_loop="unrolled"):
+                                   qr_loop="unrolled",
+                                   memory_bounded=False):
     """Distributed pre-array factorization hook with a ``.blocks`` variant.
 
     ``.blocks`` returns the raw factor blocks ``(posterior, L21, L1)``
@@ -68,6 +69,22 @@ def make_distributed_factorization(*, mesh, axis="space", panel_size=None,
     sharded-output factorizations (``"scan"`` bounds live temps at two
     generations of the local block — the N=1e5 memory-bounded setting;
     see :func:`sharded_linalg.blocked_qr_r_sharded`).
+
+    ``memory_bounded=True`` additionally attaches the two hooks that keep
+    the step's MEASUREMENT side O(D^2/P) per device (both observed as the
+    dominant per-device buffers in the compiled N=1e5 step HLO —
+    docs/SCALE.md round 4):
+
+    * ``operator_matmul`` — the ring matmul for ``L @ X0`` / ``B @ X0``
+      (GSPMD all-gathers the row-sharded operator otherwise, ~49 GB);
+    * ``innovation_whiten`` — row-sharded Gram + distributed blocked
+      Cholesky + blocked solve for the error estimate (``cholesky`` is
+      not GSPMD-partitionable, so the dense path replicates the (m, m)
+      innovation covariance, ~61 GB).
+
+    Requires the cache placed with ``shard_cache(..., shard_operands=
+    True)``; off by default because at small/medium N the extra
+    collectives cost more than the replication they avoid.
     """
 
     def blocks(HACl, ACl, HQl, Ql, R_noise):
@@ -127,6 +144,36 @@ def make_distributed_factorization(*, mesh, axis="space", panel_size=None,
     factorization.blocks = blocks
     factorization.propagate = propagate
     factorization.update_from_products = update_from_products
+
+    if memory_bounded:
+        def operator_matmul(Op, X):
+            return sharded_linalg.ring_matmul(Op, X, mesh, axis=axis)
+
+        def innovation_whiten(HQl, E_noise, z):
+            m = z.shape[0]
+            # diag(S) without S: row sums of squares (shard-local + psum)
+            diag_S = jnp.sum(HQl * HQl, axis=1) + jnp.sum(
+                E_noise * E_noise, axis=1
+            )
+            # S row-sharded from the column-sharded stacked factor
+            E_col = jax.lax.with_sharding_constraint(
+                E_noise, NamedSharding(mesh, PartitionSpec(None, axis))
+            )
+            F = jnp.concatenate((HQl, E_col), axis=1)
+            S = sharded_linalg.gram_rowsharded(F, mesh, axis=axis)
+            m_pad = S.shape[0]
+            Lc = sharded_linalg.blocked_cholesky(
+                S, mesh, axis=axis, panel_size=panel_size
+            )
+            zp = jnp.pad(z, (0, m_pad - m)) if m_pad > m else z
+            w = sharded_linalg.blocked_cho_solve(
+                Lc, zp[:, None], mesh, axis=axis, panel_size=panel_size
+            )[:m, 0]
+            return diag_S, w
+
+        factorization.operator_matmul = operator_matmul
+        factorization.innovation_whiten = innovation_whiten
+
     return factorization
 
 
@@ -148,12 +195,15 @@ def make_space_sharded_white_step(*, cache, num_derivatives, mesh, f=None,
     pre-array — the memory-bounded configuration for the N=1e5 3-D config
     (the fused pre-array's per-device temps are ~1 TB there; see
     make_distributed_factorization). Place the cache with
-    ``shard_cache(..., shard_operands=True)`` at that scale.
+    ``shard_cache(..., shard_operands=True)`` at that scale; two_qr also
+    attaches the memory-bounded measurement hooks (ring matmul +
+    row-sharded innovation whitening — see make_distributed_factorization).
     """
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
         factorization = make_distributed_factorization(
-            mesh=mesh, panel_size=panel_size, qr_loop=qr_loop
+            mesh=mesh, panel_size=panel_size, qr_loop=qr_loop,
+            memory_bounded=two_qr,
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:

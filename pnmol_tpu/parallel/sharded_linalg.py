@@ -666,3 +666,128 @@ def sharded_collocation_global(
         jnp.asarray(nugget_gram_matrix, dtype),
         jnp.asarray(nugget_cholesky_E, dtype),
     )
+
+
+def ring_matmul(A, X, mesh, axis="space"):
+    """``A @ X`` with ``A`` ROW-sharded and ``X``/output COLUMN-sharded —
+    never materializing a full ``A`` (or a full output) on any device.
+
+    GSPMD's own partitioning of this contraction all-gathers ``A``: with
+    ``X`` column-sharded, each device computes its output column block
+    ``A @ X[:, cols_p]`` and therefore wants ALL of ``A`` — a (d, d)
+    all-gather that is ~49 GB/device at the N=1e5 3-D config (observed in
+    the compiled step HLO, docs/SCALE.md round 4). This kernel instead
+    rotates the (rows/P, k) shards of ``A`` around the ring (``ppermute``)
+    while each device keeps only its own column block of ``X``: P rounds
+    of (rows/P, cols/P) local matmuls, peak per-device memory
+    O(rows*k/P + k*cols/P + rows*cols/P), communication = one full cycle
+    of A's shards over ICI (the same bytes the all-gather moves, but only
+    one shard resident at a time).
+
+    ``A`` (ra, k) row-sharded over ``axis``; ``X`` (k, cx) column-sharded.
+    Returns (ra, cx) column-sharded. The contraction dim ``k`` is
+    unsharded in both operands.
+    """
+    ra, k = A.shape
+    k2, cx = X.shape
+    assert k == k2, (A.shape, X.shape)
+    P = mesh.shape[axis]
+    rb = -(-ra // P)
+    ra_pad = rb * P
+    if ra_pad > ra:
+        A = jnp.pad(A, ((0, ra_pad - ra), (0, 0)))
+    cb = -(-cx // P)
+    cx_pad = cb * P
+    if cx_pad > cx:
+        X = jnp.pad(X, ((0, 0), (0, cx_pad - cx)))
+
+    perm = [(i, (i + 1) % P) for i in range(P)]
+
+    def body(A_loc, X_loc):
+        me = jax.lax.axis_index(axis)
+
+        def round_fn(r, carry):
+            A_cur, out = carry
+            # after r forward rotations, we hold the shard that started on
+            # device (me - r) mod P -> its rows live at that global offset
+            origin = jnp.mod(me - r, P).astype(jnp.int32)
+            piece = A_cur @ X_loc  # (rb, cb)
+            out = jax.lax.dynamic_update_slice(
+                out, piece, (origin * rb, jnp.zeros((), origin.dtype))
+            )
+            A_next = jax.lax.ppermute(A_cur, axis, perm)
+            return A_next, out
+
+        out0 = jnp.zeros((ra_pad, X_loc.shape[1]), dtype=A_loc.dtype)
+        _, out = jax.lax.fori_loop(0, P, round_fn, (A_loc, out0))
+        return out
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(PartitionSpec(axis, None), PartitionSpec(None, axis)),
+        out_specs=PartitionSpec(None, axis),
+        check_vma=False,
+    )
+    out = fn(A, X)
+    if ra_pad > ra or cx_pad > cx:
+        out = out[:ra, :cx]
+    return out
+
+
+def gram_rowsharded(X, mesh, axis="space", unit_pad_diag=True):
+    """``X @ X^T`` with ``X`` COLUMN-sharded and the Gram ROW-sharded —
+    no device ever holds the full (m, m) Gram.
+
+    The step's innovation covariance ``S = [HQl | E] [HQl | E]^T`` is
+    (m, m): replicated it is ~61 GB/device at the N=1e5 3-D config, and
+    GSPMD replicates it because the downstream ``cholesky`` cannot be
+    partitioned (observed in the compiled step HLO). This assembles S in P
+    rounds — each round psums one (m/P, m) row block over the column
+    shards and only the owner keeps it — so the peak per-device temp is
+    one row block. Feed the result to :func:`blocked_cholesky` (also
+    row-sharded) and :func:`blocked_cho_solve` for the whitened residual.
+
+    Rows are padded to P*ceil(m/P); with ``unit_pad_diag`` the pad block
+    gets an identity diagonal so the padded Gram stays SPD
+    (``chol(blockdiag(S, I)) = blockdiag(chol(S), I)``) and the padded
+    result can go straight into the blocked Cholesky. Returns the PADDED
+    (m_pad, m_pad) row-sharded Gram; callers slice results, not S.
+    """
+    m, k = X.shape
+    P = mesh.shape[axis]
+    rb = -(-m // P)
+    m_pad = rb * P
+    if m_pad > m:
+        X = jnp.pad(X, ((0, m_pad - m), (0, 0)))
+    kb = -(-k // P)
+    if kb * P > k:
+        X = jnp.pad(X, ((0, 0), (0, kb * P - k)))
+
+    def body(X_loc):
+        me = jax.lax.axis_index(axis)
+
+        def round_fn(p, S_loc):
+            rows_p = jax.lax.dynamic_slice(
+                X_loc, (p * rb, 0), (rb, X_loc.shape[1])
+            )
+            term = jax.lax.psum(rows_p @ X_loc.T, axis)  # true S rows p
+            return jnp.where(p == me, term, S_loc)
+
+        S0 = jnp.zeros((rb, m_pad), dtype=X_loc.dtype)
+        S_loc = jax.lax.fori_loop(0, P, round_fn, S0)
+        if unit_pad_diag and m_pad > m:
+            rows_gl = me * rb + jnp.arange(rb)
+            cols_gl = jnp.arange(m_pad)
+            on_pad_diag = (rows_gl[:, None] == cols_gl[None, :]) & (
+                rows_gl[:, None] >= m
+            )
+            S_loc = S_loc + on_pad_diag.astype(S_loc.dtype)
+        return S_loc
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=PartitionSpec(None, axis),
+        out_specs=PartitionSpec(axis, None),
+        check_vma=False,
+    )
+    return fn(X)

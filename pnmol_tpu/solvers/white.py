@@ -42,18 +42,28 @@ class WhiteSolverCache(NamedTuple):
     E_bc_sqrtm: jnp.ndarray  # (d + b, d + b) blockdiag(E_sqrtm, R_sqrtm)
 
 
-def _measurement_operator(cache, G, p, n):
+def _measurement_operator(cache, G, p, n, matmul=None):
     """Return X -> H @ X for the EK1 measurement, without materializing H.
 
     ``H = [p1 * E1 - G (p0 * E0); p0 * B E0]`` in preconditioned coordinates
     (G = Jx for linear problems, Jx + L for semilinear ones).
+
+    ``matmul(Op, X)`` overrides the two operator products — the seam the
+    distributed tier uses for its ring matmul: GSPMD's own partitioning of
+    ``L @ X0`` (row-sharded L, column-sharded X0) ALL-GATHERS L, ~49
+    GB/device at the N=1e5 3-D shapes (docs/SCALE.md round 4).
     """
 
     def apply_H(X):
         X0 = iwp.project_derivative(X, 0, n)
         X1 = iwp.project_derivative(X, 1, n)
-        ode_rows = p[1] * X1 - G @ (p[0] * X0)
-        bc_rows = cache.B @ (p[0] * X0)
+        if matmul is None:
+            ode_rows = p[1] * X1 - G @ (p[0] * X0)
+            bc_rows = cache.B @ (p[0] * X0)
+        else:
+            X0s = p[0] * X0
+            ode_rows = p[1] * X1 - matmul(G, X0s)
+            bc_rows = matmul(cache.B, X0s)
         return jnp.concatenate((ode_rows, bc_rows), axis=0)
 
     return apply_H
@@ -122,7 +132,10 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
     # [Linearize] (EK1 at the predicted point)
     m_at = p[0] * Mp[0]
     G, shift = _linearize(f, df, cache.L, t_next, m_at, linear, ek_order)
-    apply_H = _measurement_operator(cache, G, p, n)
+    apply_H = _measurement_operator(
+        cache, G, p, n,
+        matmul=getattr(factorization, "operator_matmul", None),
+    )
 
     # [Residual] z = H mp + [shift; 0]
     z_ode = p[1] * Mp[1] - G @ m_at + shift
@@ -131,13 +144,22 @@ def white_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 
     # [Error estimate] S = H Q H^T + E E^T on the small (m, m) system.
     # S is SPD: solve via Cholesky (TPU-friendly; LU is not supported in
-    # f64 on TPU and slower in any case).
+    # f64 on TPU and slower in any case). The distributed tier routes this
+    # through its ``innovation_whiten`` hook: ``cholesky`` cannot be GSPMD-
+    # partitioned, so the dense path REPLICATES the (m, m) S on every
+    # device (~61 GB at the N=1e5 3-D shapes — docs/SCALE.md round 4).
     HQl = apply_H(cache.Ql)
-    S = HQl @ HQl.T + E_bc @ E_bc.T
-    S_chol = jnp.linalg.cholesky(S)
-    whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
-    sigma_squared = z @ whitened / m_dim
-    error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
+    whiten_hook = getattr(factorization, "innovation_whiten", None)
+    if whiten_hook is not None:
+        diag_S, whitened = whiten_hook(HQl, E_bc, z)
+        sigma_squared = z @ whitened / m_dim
+        error = jnp.sqrt(diag_S) * jnp.sqrt(sigma_squared)
+    else:
+        S = HQl @ HQl.T + E_bc @ E_bc.T
+        S_chol = jnp.linalg.cholesky(S)
+        whitened = jax.scipy.linalg.cho_solve((S_chol, True), z)
+        sigma_squared = z @ whitened / m_dim
+        error = jnp.sqrt(jnp.diag(S)) * jnp.sqrt(sigma_squared)
     error = dt * error[:d]  # drop boundary rows; dt-weight as the reference
 
     # [Predict + update covariance]
@@ -328,7 +350,10 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     E_bc = cache.E_bc_sqrtm
     if meascov_dt_scaled:
         E_bc = jnp.sqrt(dt) * E_bc
-    apply_H = _measurement_operator(cache, cache.L, p, n)
+    apply_H = _measurement_operator(
+        cache, cache.L, p, n,
+        matmul=getattr(factorization, "operator_matmul", None),
+    )
 
     def cov_step(C_unpre):
         """One covariance-only white step (mirrors white_attempt_step)."""

@@ -959,3 +959,45 @@ def test_steady_dt_sweep_matches_sequential(device_mesh):
         assert jnp.allclose(
             covs[i] @ covs[i].T, expected_cov @ expected_cov.T, atol=1e-9
         )
+
+
+def test_ring_matmul_matches_dense(device_mesh):
+    """Ring matmul (row-sharded A, column-sharded X/out, ppermute rounds):
+    exact vs the dense product, including non-P-divisible shapes. This is
+    the kernel that replaces GSPMD's (d, d) all-gather of the row-sharded
+    operator in the memory-bounded step (docs/SCALE.md round 4)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for ra, k, cx in ((64, 48, 80), (50, 33, 71), (8, 8, 8), (3, 17, 5)):
+        A = jnp.asarray(rng.normal(size=(ra, k)))
+        X = jnp.asarray(rng.normal(size=(k, cx)))
+        out = sharded_linalg.ring_matmul(A, X, device_mesh)
+        assert out.shape == (ra, cx)
+        assert jnp.allclose(out, A @ X, atol=1e-12), (ra, k, cx)
+
+
+def test_gram_rowsharded_and_whiten_pipeline(device_mesh):
+    """Row-sharded Gram -> distributed blocked Cholesky -> blocked solve:
+    the memory-bounded innovation-whitening path (no full (m, m) S on any
+    device). Pad block must be exact identity so the padded Gram is SPD."""
+    import numpy as np
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(4)
+    for m, k in ((48, 96), (50, 65)):
+        X = jnp.asarray(rng.normal(size=(m, k)))
+        S = sharded_linalg.gram_rowsharded(X, device_mesh)
+        m_pad = S.shape[0]
+        Sd = np.asarray(S)
+        assert np.allclose(Sd[:m, :m], np.asarray(X @ X.T), atol=1e-12)
+        if m_pad > m:
+            assert np.allclose(Sd[m:, m:], np.eye(m_pad - m), atol=0)
+            assert np.allclose(Sd[:m, m:], 0.0)
+        L = sharded_linalg.blocked_cholesky(S, device_mesh)
+        z = jnp.asarray(rng.normal(size=(m_pad, 1)))
+        w = sharded_linalg.blocked_cho_solve(L, z, device_mesh)
+        w_ref = sla.cho_solve(
+            (np.linalg.cholesky(Sd), True), np.asarray(z)
+        )
+        assert np.allclose(np.asarray(w), w_ref, atol=1e-9)
