@@ -99,7 +99,7 @@ def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk):
     return Ak, Gk, Hk, it, delta
 
 
-def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None):
+def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None, donate=False):
     """Solve ``Sigma = A Sigma (I + G Sigma)^{-1} A^T + Q`` by doubling.
 
     Parameters: ``A`` (D, D) transition, ``G = H^T R^{-1} H`` (D, D) PSD
@@ -120,15 +120,26 @@ def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None):
     Default: 4 per execution on accelerators, unchunked on CPU. The
     carried triple is DONATED between chunks, so only one generation of
     the three (D, D) iterates is ever resident.
+
+    ``donate=True`` additionally consumes the caller's ``G`` and ``Q``
+    buffers as the first-chunk carries (the caller must treat them as
+    freed). At the N=1e4 seed shapes the three defensive copies are
+    ~5 GB of doubled liveness — the difference between the f32 seed
+    fitting a 16 GB chip and ResourceExhausted (docs/SCALE.md round 4).
     """
     dtype = Q.dtype
     if chunk is None:
         chunk = max_iters if jax.default_backend() == "cpu" else 4
     chunk = max(1, min(chunk, max_iters))
 
-    Ak = A.T.astype(dtype)
-    Gk = G.astype(dtype) + 0  # donated carry: never consume the caller's G
-    Hk = Q + 0  # donated carry: never consume the caller's Q buffer
+    Ak = A.T.astype(dtype)  # the transpose materializes a fresh buffer
+    if donate:
+        Gk = G.astype(dtype)
+        Hk = Q
+    else:
+        Gk = G.astype(dtype) + 0  # donated carry: never consume caller's G
+        Hk = Q + 0  # donated carry: never consume the caller's Q buffer
+    del A, G, Q
     it = jnp.zeros((), jnp.int32)
     delta = float("inf")
     while int(it) < max_iters and (int(it) == 0 or delta >= tol):

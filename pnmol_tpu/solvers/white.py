@@ -493,27 +493,54 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
     initialization ``G0 = H^T R^{-1} H`` floors ``diag(R)`` at
     ``bc_nugget^2`` times the innovation scale; the bias this adds is
     ``O(bc_nugget^2)`` relative (the prior innovation dominates those rows)
-    and the FILTERED update below uses the exact ``R`` again. The filtered
-    fixed point is singular along the exactly-constrained boundary
-    directions, so its Cholesky gets an eps-scale jitter.
+    and the FILTERED update below uses the exact noise factor again (one
+    square-root measurement update of the predicted fixed point's
+    Cholesky factor — fully on device; see :func:`sda_seed_from_dense`).
     """
     A, H, Q, R, p = white_dense_system(
         cache, dt, num_derivatives=num_derivatives,
         meascov_dt_scaled=meascov_dt_scaled,
     )
+    E_bc = cache.E_bc_sqrtm
+    if meascov_dt_scaled:
+        E_bc = jnp.sqrt(dt) * E_bc
+
+    def rebuild_AQ():
+        # dense (A, Q) for the post-SDA residual certificate; rebuilt so
+        # the SDA loop itself never holds them (donate + rebuild is ~5 GB
+        # of peak-liveness at the N=1e4 f32 seed shapes)
+        dtype = cache.Ql.dtype
+        eye = jnp.eye(cache.Ql.shape[0], dtype=dtype)
+        with jax.default_matmul_precision("highest"):
+            return (iwp.apply_stack_matrix(cache.A1d, eye),
+                    cache.Ql @ cache.Ql.T)
+
     return sda_seed_from_dense(
-        A, H, Q, R, p, bc_nugget=bc_nugget, max_iters=max_iters, tol=tol
+        A, H, Q, R, p, meascov_sqrtm=E_bc, bc_nugget=bc_nugget,
+        max_iters=max_iters, tol=tol, rebuild_fn=rebuild_AQ,
     )
 
 
-def sda_seed_from_dense(A, H, Q, R, p, *, bc_nugget=1e-6, max_iters=64,
-                        tol=None):
+def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
+                        max_iters=64, tol=None, rebuild_fn=None):
     """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
 
     Used by the white AND latent seeds (the latent one assembles its own
     stacked dense system with exactly-zero measurement noise). See
     :func:`steady_state_sda_seed` for the nugget/jitter rationale.
+
+    ``meascov_sqrtm`` is the (m, m) noise FACTOR (``R = E E^T``); when
+    omitted it is derived as ``chol(R + eps I)`` scaled back, which is
+    exact for the zero and full-rank cases the seeds produce.
+
+    ``rebuild_fn() -> (A, Q)``: when given, the dense ``A``/``Q``/``G0``
+    buffers are DONATED into the doubling loop and rebuilt afterwards for
+    the ``dare_residual`` certificate — at the N=1e4 f32 seed shapes the
+    extra liveness through the loop is the difference between fitting a
+    16 GB chip and ResourceExhausted (docs/SCALE.md round 4).
     """
+    import numpy as _np
+
     from pnmol_tpu.ops import dare
 
     with jax.default_matmul_precision("highest"):
@@ -522,45 +549,68 @@ def sda_seed_from_dense(A, H, Q, R, p, *, bc_nugget=1e-6, max_iters=64,
             tol = 1e-12 if dtype == jnp.float64 else 1e-6
 
         # invertible R for G0: floor the diagonal at bc_nugget^2 * the
-        # innovation scale (max over diag(R) and diag(H Q H^T))
-        HQ_gram_diag = jnp.diag(H @ Q @ H.T)
+        # innovation scale (max over diag(R) and diag(H Q H^T); the
+        # products stay (m, D) — no (m, m) Gram is materialized here)
+        HQ_gram_diag = jnp.sum((H @ Q) * H, axis=1)
         scale = jnp.maximum(jnp.max(jnp.diag(R)), jnp.max(HQ_gram_diag))
         nug = (bc_nugget ** 2) * scale
         R_eps = R + nug * jnp.eye(R.shape[0], dtype=dtype)
+        if meascov_sqrtm is not None:
+            del R  # only diag(R) was needed; drop the (m, m) buffer
         Lr = jnp.linalg.cholesky(R_eps)
         Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
         G0 = Wh.T @ Wh
+        del Wh, R_eps
 
-        res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters)
-        residual = dare.dare_residual(res.sigma, A, G0, Q)
+        if rebuild_fn is None:
+            res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters)
+            residual = dare.dare_residual(res.sigma, A, G0, Q)
+        else:
+            res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters,
+                           donate=True)
+            del A, Q  # consumed by the donated doubling carries
+            A, Q = rebuild_fn()
+            Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
+            G0 = Wh.T @ Wh
+            del Wh
+            residual = dare.dare_residual(res.sigma, A, G0, Q)
+            del A, Q
+        del G0, Lr
 
-        # filtered fixed point with the EXACT R: P = Sigma - Sigma H^T
-        # (H Sigma H^T + R)^{-1} H Sigma
-        S = H @ res.sigma @ H.T + R
-        Ls = jnp.linalg.cholesky(S)
-        HSig = H @ res.sigma
-        P = res.sigma - HSig.T @ jax.scipy.linalg.cho_solve((Ls, True), HSig)
-        P = 0.5 * (P + P.T)
-        # PSD square root via eigh, NOT Cholesky: P is rank-deficient along
-        # the exactly-constrained measurement directions (zero-noise rows
-        # drop rank every update) and roundoff makes it indefinite at
-        # eps*||P||, which NaNs a Cholesky; jitter can't fix that without
-        # swamping the ~30-orders-of-magnitude dynamic range of the
-        # diagonal. The eigh runs ON HOST (LAPACK): the seed is a one-time
-        # host-driven stage, and TPU's QDWH eigh NaNs in f64 (observed on
-        # v5e; f64 QR works fine, f64 eigh does not). One device QR then
-        # re-triangularizes the factor (the interleaved banded pipelines
-        # require a lower-triangular state factor, and the recursion keeps
-        # triangularity from there on).
-        import numpy as _np
-
-        P_host = _np.asarray(jax.device_get(P))
-        evals, evecs = _np.linalg.eigh(P_host)
-        Cfull = jnp.asarray(
-            evecs * _np.sqrt(_np.maximum(evals, 0.0))[None, :], dtype=dtype
+        # Filtered stationary FACTOR without ever forming the filtered
+        # covariance P (P is rank-deficient along the exactly-constrained
+        # boundary directions — zero-noise rows drop rank every update —
+        # so chol(P) NaNs and an eigh of the dense (D, D) P was the
+        # round-4 scale wall: host LAPACK eigh is hours at D = 2e4 on this
+        # box, and TPU's QDWH eigh NaNs in f64 on v5e). Instead: Cholesky
+        # the PREDICTED fixed point (PD — ``sigma >= Q > 0`` in the PSD
+        # order, and the preconditioned Q is well-conditioned), then apply
+        # ONE exact square-root measurement update with the exact noise
+        # factor. The update pre-array QR handles exactly-zero noise rows
+        # the same way the per-step pipeline does every step, and returns
+        # the lower-triangular posterior factor directly.
+        sigma = 0.5 * (res.sigma + res.sigma.T)
+        C_pred = jnp.linalg.cholesky(sigma)
+        if meascov_sqrtm is None:
+            meascov_sqrtm = jnp.where(
+                jnp.max(jnp.diag(R)) > 0,
+                jnp.linalg.cholesky(
+                    R + nug * jnp.eye(R.shape[0], dtype=dtype)),
+                jnp.zeros_like(R),
+            )
+        if not bool(jnp.all(jnp.isfinite(C_pred))):
+            # f32 fallback: cond(sigma) can exceed f32's Cholesky range on
+            # stiff fine-dx systems; retry with an eps-scaled jitter (the
+            # seed feeds a polish that re-derives the factor through the
+            # exact pipeline, so the jitter bias is one-shot)
+            jit_eps = jnp.finfo(dtype).eps * jnp.max(jnp.diag(sigma))
+            C_pred = jnp.linalg.cholesky(
+                sigma + jit_eps * jnp.eye(sigma.shape[0], dtype=dtype)
+            )
+        C_post, _, _ = sqrt.update_sqrt_from_products(
+            H @ C_pred, C_pred, meascov_sqrtm
         )
-        C_scaled = jnp.linalg.qr(Cfull.T)[1].T
-        C0 = iwp.scale_stack(p, C_scaled)
+        C0 = iwp.scale_stack(p, C_post)
     info = {
         "sda_iterations": int(res.iterations),
         "sda_delta": float(res.delta),
