@@ -703,6 +703,9 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
 
         use_seed = seed_fn is not None and opts.get("seed", True)
         if use_seed:
+            from pnmol_tpu.utils import debug as debug_util
+
+            debug_util.dump_live_arrays("pre_seed")
             C0, seed_info = seed_fn(cache, dt0)
             if diagnostics is not None:
                 diagnostics.update(seed_info)

@@ -46,3 +46,33 @@ def validate_solution(sol):
     """Finite-check a PDESolution (means + covariance factors)."""
     assert_finite({"mean": sol.mean, "cov_sqrtm": sol.cov_sqrtm}, "solution")
     return sol
+
+
+def dump_live_arrays(tag="", top=25, min_mb=1.0):
+    """Print the largest live device arrays (size-sorted), gated by
+    ``PNMOL_DEBUG_LIVE=1``.
+
+    The tool that localizes ResourceExhausted at large N: XLA's OOM
+    message lists the failing allocation, not what is already resident
+    (docs/SCALE.md "N=1e4 single-chip" — the walls were always dead
+    buffers someone still referenced).
+    """
+    import os
+
+    if os.environ.get("PNMOL_DEBUG_LIVE") != "1":
+        return
+    rows = []
+    total = 0
+    for arr in jax.live_arrays():
+        try:
+            nbytes = arr.size * arr.dtype.itemsize
+        except Exception:
+            continue
+        total += nbytes
+        if nbytes >= min_mb * 1e6:
+            rows.append((nbytes, tuple(arr.shape), str(arr.dtype)))
+    rows.sort(reverse=True)
+    print(f"[live_arrays:{tag}] total={total/1e9:.2f} GB, "
+          f"{len(rows)} arrays >= {min_mb} MB", flush=True)
+    for nbytes, shape, dtype in rows[:top]:
+        print(f"  {nbytes/1e9:7.3f} GB  {dtype:10s} {shape}", flush=True)
