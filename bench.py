@@ -35,8 +35,13 @@ per-step-QR pipeline, i.e. the reference's semantics for the same linear
 problem; the resulting vs_baseline is the honest "this framework's
 stationary mode vs the reference's re-factorize-every-step way". Extra
 knobs: PNMOL_BENCH_STEADY_ITERS (Riccati cap, default 60),
-PNMOL_BENCH_STEADY_DTYPE (default float64 — at D ~ 1e4 an f32 recursion's
-frozen gain is unstable), PNMOL_BENCH_STEADY_CHUNK (iterations per device
+PNMOL_BENCH_STEADY_DTYPE (default "auto": float64 while the doubling
+seed's dense system fits the chip — D <= 6144 on a 16 GB v5e — else the
+problem dtype; v5e's f64 is DOUBLE-DOUBLE EMULATION whose split/product
+temps exhaust HBM at D ~ 1e4 even fully jitted, measured round 4. The
+SDA-highest f32 seed's one-shot roundoff replaces the f64 recursion
+there; stability is certified per-run by closed_loop_rho — docs/SCALE.md),
+PNMOL_BENCH_STEADY_CHUNK (iterations per device
 execution), PNMOL_BENCH_DT (default 1e-2 in steady mode: the Riccati mixes
 at the dynamics' rate; throughput itself is dt-independent).
 """
@@ -84,7 +89,7 @@ else:
 NUM_STEPS = int(os.environ.get("PNMOL_BENCH_STEPS", str(_auto_steps)))
 STEADY_ITERS = os.environ.get("PNMOL_BENCH_STEADY_ITERS")
 STEADY_SEED = os.environ.get("PNMOL_BENCH_STEADY_SEED", "1") == "1"
-STEADY_DTYPE = os.environ.get("PNMOL_BENCH_STEADY_DTYPE", "float64")
+STEADY_DTYPE = os.environ.get("PNMOL_BENCH_STEADY_DTYPE", "auto")
 STEADY_CHUNK = os.environ.get("PNMOL_BENCH_STEADY_CHUNK")
 DT = float(os.environ.get("PNMOL_BENCH_DT", "0.01" if STEADY else "0.001"))
 CPU_STEPS = int(os.environ.get("PNMOL_BENCH_CPU_STEPS", "4"))
@@ -174,8 +179,17 @@ def _child(mode: str) -> None:
             opts["max_iters"] = int(STEADY_ITERS)
         if not STEADY_SEED:
             opts["seed"] = False
-        if STEADY_DTYPE not in ("", "none"):
-            opts["dtype"] = STEADY_DTYPE
+        steady_dtype = STEADY_DTYPE
+        if steady_dtype == "auto":
+            # f64 on v5e is double-double emulation: its split/product
+            # temps exhaust the 16 GB pool at D ~ 1e4 even fully jitted
+            # (measured round 4); past the threshold the SDA-highest f32
+            # seed carries stability (certified by closed_loop_rho below)
+            steady_dtype = (
+                "float64" if N_POINTS * (NU + 1) <= 6144 else "none"
+            )
+        if steady_dtype not in ("", "none"):
+            opts["dtype"] = steady_dtype
         if STEADY_CHUNK:
             opts["chunk_iters"] = int(STEADY_CHUNK)
         solver_kwargs["steady_state"] = opts
@@ -209,10 +223,10 @@ def _child(mode: str) -> None:
                     solver._cache, solver.steady_cache, DT,
                     num_derivatives=NU,
                 )), 8),
-            # effective dtype: ''/'none' means the recursion ran in the
-            # problem dtype, not whatever string the env var held
+            # effective dtype: ''/'none'/'auto' resolve to what actually
+            # ran, not whatever string the env var held
             "riccati_dtype": (
-                STEADY_DTYPE if STEADY_DTYPE not in ("", "none")
+                steady_dtype if steady_dtype not in ("", "none")
                 else jnp.dtype(dtype).name
             ),
         }
