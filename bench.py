@@ -238,6 +238,10 @@ def _child(mode: str) -> None:
         dummy = jnp.zeros((1, 1), dtype)
         cache = (cache, solver.steady_cache._replace(cov_inf=dummy, Sl=dummy))
         cov = dummy
+    init_profile = {
+        k: round(v, 2)
+        for k, v in (getattr(solver, "init_profile", None) or {}).items()
+    } or None  # per-phase breakdown under PNMOL_INIT_PROFILE=1
     # Free dead init buffers before stepping: the solver's IWP holds the
     # (d, d) Gram factor and the problem holds E_sqrtm — at N = 1e4 these
     # leftovers are the difference between fitting and ResourceExhausted
@@ -301,6 +305,7 @@ def _child(mode: str) -> None:
                 "build_seconds": round(build_s, 2),
                 "compile_seconds": round(compile_s, 2),
                 "relay_warmup_seconds": round(warmup_s, 2),
+                "init_profile_seconds": init_profile,
                 "steady": steady_info,
             }
         )
@@ -410,6 +415,8 @@ def main():
                     "flop_model_pipeline": None if STEADY else pipeline,
                     "steady_state": STEADY,
                     "steady": device.get("steady"),
+                    "init_profile_seconds": device.get(
+                        "init_profile_seconds"),
                     "dt": DT,
                     "cpu_baseline_pipeline": (
                         "full per-step QR (reference semantics)"

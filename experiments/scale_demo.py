@@ -105,6 +105,11 @@ def demo_step(n_side, nu, num_steps, fused, dim=2, factorization="xla",
     state = solver.initialize(heat)
     _sync(state.y.cov_sqrtm)
     init_s = time.perf_counter() - t0
+    init_profile = getattr(solver, "init_profile", None)
+    if init_profile:
+        # per-phase forced-completion breakdown (PNMOL_INIT_PROFILE=1)
+        print(json.dumps({"init_profile_seconds": {
+            k: round(v, 2) for k, v in init_profile.items()}}), flush=True)
     steady_iters = (
         int(solver.steady_cache.iterations) if steady_state else None
     )

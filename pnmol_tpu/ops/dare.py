@@ -172,7 +172,7 @@ def dare_residual(sigma, A, G, Q):
 
 
 @functools.partial(jax.jit, static_argnames=("apply_T", "num_iters"))
-def closed_loop_growth(apply_T, v0, num_iters=256):
+def closed_loop_growth(apply_T, v0, num_iters=256, operands=None):
     """Estimate the spectral radius of the frozen closed loop by power
     iteration on a matvec-only operator ``apply_T`` (renormalized each
     step; the growth estimate is the geometric mean of the step norms).
@@ -182,12 +182,18 @@ def closed_loop_growth(apply_T, v0, num_iters=256):
     is stable regardless of the convergence delta that produced the gain —
     the actionable diagnostic VERDICT asked for (a delta alone says nothing
     about the slow modes the gain error perturbs).
+
+    ``operands``: a pytree passed through to ``apply_T(operands, v)`` as a
+    RUNTIME argument. Closing the frozen blocks over ``apply_T`` instead
+    serializes them as constants into the remote compile request — HTTP
+    413 past ~0.5 GB on the axon relay (observed at N=5184: the (D, m)
+    gain alone is 0.23 GB).
     """
     dtype = v0.dtype
 
     def body(carry, _):
         v, log_acc = carry
-        w = apply_T(v)
+        w = apply_T(v) if operands is None else apply_T(operands, v)
         nrm = jnp.linalg.norm(w)
         v = w / (nrm + jnp.finfo(dtype).tiny)
         return (v, log_acc + jnp.log(nrm)), None

@@ -374,15 +374,21 @@ def steady_closed_loop_radius(cache, steady, dt, *, num_derivatives,
     D2 = cache.Ql.shape[0]
     dtype = cache.Ql.dtype
     p, _ = iwp.nordsieck_scales_1d(num_derivatives, jnp.asarray(dt, dtype))
-    apply_H = _measurement_operator_latent(cache, cache.L, p, n, d)
 
-    def apply_T(v):
-        va = iwp.apply_stack_matrix(cache.A1d, v)
+    # frozen blocks as RUNTIME arguments (HTTP 413 on the relay if closed
+    # over — see the white analog); the matvec never reads cov_inf/Sl
+    dummy = jnp.zeros((1, 1), dtype)
+    operands = (cache, steady._replace(cov_inf=dummy, Sl=dummy), p)
+
+    def apply_T(ops, v):
+        cache_, steady_, p_ = ops
+        apply_H = _measurement_operator_latent(cache_, cache_.L, p_, n, d)
+        va = iwp.apply_stack_matrix(cache_.A1d, v)
         z = apply_H(va)
-        return va - steady.L21 @ (steady.Sl_inv @ z)
+        return va - steady_.L21 @ (steady_.Sl_inv @ z)
 
     v0 = jax.random.normal(jax.random.PRNGKey(0), (D2,), dtype=dtype)
-    return dare.closed_loop_growth(apply_T, v0, num_iters)
+    return dare.closed_loop_growth(apply_T, v0, num_iters, operands=operands)
 
 
 def make_steady_state_latent_step(*, cache: LatentSolverCache,

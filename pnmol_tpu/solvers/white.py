@@ -636,15 +636,23 @@ def steady_closed_loop_radius(cache, steady, dt, *, num_derivatives,
     D = cache.Ql.shape[0]
     dtype = cache.Ql.dtype
     p, _ = iwp.nordsieck_scales_1d(num_derivatives, jnp.asarray(dt, dtype))
-    apply_H = _measurement_operator(cache, cache.L, p, n)
 
-    def apply_T(v):
-        va = iwp.apply_stack_matrix(cache.A1d, v)
+    # frozen blocks ride as RUNTIME arguments — closed over they become
+    # compile-request constants (HTTP 413 on the relay past ~0.5 GB; the
+    # (D, m) gain alone is 0.23 GB at N=5184). The (D, D) stationary
+    # factor and (m, m) Sl are not read by the matvec: strip them.
+    dummy = jnp.zeros((1, 1), dtype)
+    operands = (cache, steady._replace(cov_inf=dummy, Sl=dummy), p)
+
+    def apply_T(ops, v):
+        cache_, steady_, p_ = ops
+        apply_H = _measurement_operator(cache_, cache_.L, p_, n)
+        va = iwp.apply_stack_matrix(cache_.A1d, v)
         z = apply_H(va)
-        return va - steady.L21 @ (steady.Sl_inv @ z)
+        return va - steady_.L21 @ (steady_.Sl_inv @ z)
 
     v0 = jax.random.normal(jax.random.PRNGKey(0), (D,), dtype=dtype)
-    return dare.closed_loop_growth(apply_T, v0, num_iters)
+    return dare.closed_loop_growth(apply_T, v0, num_iters, operands=operands)
 
 
 def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
