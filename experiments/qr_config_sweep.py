@@ -90,19 +90,22 @@ def main(n_points, nu, num_steps, configs):
     gram_xla = jnp.dot(out_xla[1], out_xla[1].T, precision=hp)
     denom = float(jnp.maximum(jnp.max(jnp.abs(gram_xla)), 1e-30))
 
-    for leaf, block in configs:
+    for cfg in configs:
+        leaf, block = cfg[0], cfg[1]
+        pair = len(cfg) > 2 and bool(cfg[2])
+        label = f"leaf{leaf}_block{block}" + ("_pair" if pair else "")
         fact = qr_householder.make_householder_lq_factorization(
-            leaf=leaf, block=block)
+            leaf=leaf, block=block, pair_columns=pair)
         try:
             sps, comp, out = measure(runner(fact))
         except Exception as e:  # config may violate kernel constraints
-            print(json.dumps({"config": f"leaf{leaf}_block{block}",
+            print(json.dumps({"config": label,
                               "error": repr(e)[:200]}), flush=True)
             continue
         gram = jnp.dot(out[1], out[1].T, precision=hp)
         rel_err = float(jnp.max(jnp.abs(gram_xla - gram))) / denom
         print(json.dumps({
-            "config": f"leaf{leaf}_block{block}", "N": n_points, "nu": nu,
+            "config": label, "N": n_points, "nu": nu,
             "steps_per_sec": round(sps, 2), "compile_s": round(comp, 1),
             "speedup_vs_xla": round(sps / sps_xla, 3),
             "cov_gram_rel_err": rel_err,

@@ -347,7 +347,8 @@ blocked_qr_r = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
+def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int,
+                    pair: bool = False):
     """Householder LQ of a (leaf, cols) wide slab, diagonal at lane off + k.
 
     ``off_in``: (1,) int32 scalar (SMEM) — the slab's diagonal lane offset.
@@ -375,8 +376,7 @@ def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
     one = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0.0, dtype)
 
-    for k in range(leaf):
-        x = lv_out[k : k + 1, :]  # (1, cols) static sublane slice
+    def reflector_parts(x, k):
         d_eq = lane_ids == off + k
         d_gt = lane_ids > off + k
         alpha = jnp.sum(jnp.where(d_eq, x, zero))
@@ -387,24 +387,16 @@ def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
         denom = alpha - beta
         safe = norm > 0
         inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
-        tau = jnp.where(safe, (beta - alpha) / jnp.where(safe, beta, one), zero)
-
-        v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))  # (1, cols)
-
-        w = lv_out[:]  # (leaf, cols)
-        s = jnp.sum(w * v, axis=1, keepdims=True)  # (leaf, 1) lane reduction
-        # gated rank-1 update (tau for rows > k, else 0): one fused FMA pass
-        # instead of FMA + full-slab select; row k overwritten separately
-        gate = jnp.where(row_ids > k, tau, zero)  # (leaf, 1)
-        lv_out[:] = w - (gate * s) * v
-        lv_out[k : k + 1, :] = jnp.where(
-            d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
+        tau = jnp.where(
+            safe, (beta - alpha) / jnp.where(safe, beta, one), zero
         )
+        v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))
+        return v, beta, tau, inv_denom, d_eq, d_gt
 
+    def t_row_insert(k, tau, z):
         # T^T recurrence (row k of T^T): -tau * z^T T^T with z = s[:k];
         # rows < k of v are zero on the already-finalized L lanes, so the
         # stored L entries never contaminate s.
-        z = jnp.where(row_ids < k, s, zero)  # (leaf, 1)
         tT_cur = t_out[:]
         tT_row = -tau * jnp.sum(z * tT_cur, axis=0, keepdims=True)  # (1, leaf)
         t_col_new = jnp.where(
@@ -412,8 +404,62 @@ def _leaf_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf: int):
         )
         t_out[:] = jnp.where(t_rows == k, t_col_new, tT_cur)
 
+    if pair and leaf % 2:
+        raise ValueError(f"pair=True requires an even leaf, got {leaf}")
 
-def _leaf_lq(slab, off, *, leaf: int, interpret: bool = False):
+    for k in range(0, leaf, 2 if pair else 1):
+        x = lv_out[k : k + 1, :]  # (1, cols) static sublane slice
+        v, beta, tau, inv_denom, d_eq, d_gt = reflector_parts(x, k)
+
+        if not pair:
+            w = lv_out[:]  # (leaf, cols)
+            s = jnp.sum(w * v, axis=1, keepdims=True)  # (leaf, 1) reduction
+            # gated rank-1 update (tau for rows > k, else 0): one fused FMA
+            # pass instead of FMA + full-slab select; row k overwritten
+            # separately
+            gate = jnp.where(row_ids > k, tau, zero)  # (leaf, 1)
+            lv_out[:] = w - (gate * s) * v
+            lv_out[k : k + 1, :] = jnp.where(
+                d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
+            )
+            z = jnp.where(row_ids < k, s, zero)  # (leaf, 1)
+            t_row_insert(k, tau, z)
+            continue
+
+        # paired form (see _block_lq_kernel): reflector k+1 from the
+        # singly-updated row k+1, then ONE rank-2 slab pass for both
+        x1_raw = lv_out[k + 1 : k + 2, :]
+        s01 = jnp.sum(x1_raw * v)
+        x1 = x1_raw - (tau * s01) * v
+        v1, beta1, tau1, inv_denom1, d_eq1, d_gt1 = reflector_parts(
+            x1, k + 1
+        )
+
+        w = lv_out[:]
+        s0 = jnp.sum(w * v, axis=1, keepdims=True)  # W v_k
+        s1r = jnp.sum(w * v1, axis=1, keepdims=True)  # W v_{k+1}
+        c01 = jnp.sum(v * v1)
+        s1 = s1r - (tau * c01) * s0
+        gate0 = jnp.where(row_ids > k + 1, tau, zero)
+        gate1 = jnp.where(row_ids > k + 1, tau1, zero)
+        lv_out[:] = w - (gate0 * s0) * v - (gate1 * s1) * v1
+        lv_out[k : k + 1, :] = jnp.where(
+            d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
+        )
+        lv_out[k + 1 : k + 2, :] = jnp.where(
+            d_eq1, beta1, jnp.where(d_gt1, x1 * inv_denom1, x1)
+        )
+
+        z0 = jnp.where(row_ids < k, s0, zero)
+        t_row_insert(k, tau, z0)
+        z1 = jnp.where(
+            row_ids < k, s1r, jnp.where(row_ids == k, c01, zero)
+        )
+        t_row_insert(k + 1, tau1, z1)
+
+
+def _leaf_lq(slab, off, *, leaf: int, interpret: bool = False,
+             pair: bool = False):
     """Run the wide leaf kernel on one (leaf, cols) slab.
 
     ``off`` (diagonal lane offset) may be a traced int32 scalar — it enters
@@ -421,7 +467,7 @@ def _leaf_lq(slab, off, *, leaf: int, interpret: bool = False):
     """
     cols = slab.shape[1]
     dtype = slab.dtype
-    kernel = functools.partial(_leaf_lq_kernel, leaf=leaf)
+    kernel = functools.partial(_leaf_lq_kernel, leaf=leaf, pair=pair)
     extra = {}
     if _HAS_PLTPU and not interpret:
         in_specs = [
@@ -486,7 +532,8 @@ def _dot_nt(a, b, precision):
 # ---------------------------------------------------------------------------
 
 
-def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
+def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision,
+                     pair=False):
     """Householder LQ of a (block, cols) wide panel, diagonal at lane
     ``off + row``.
 
@@ -505,6 +552,16 @@ def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
     remaining panel rows take one rank-``leaf`` MXU trailing update — the
     same dataflow the driver runs across kernels in the leaf form, here
     fused on-chip.
+
+    ``pair=True`` forms TWO reflectors per slab pass: reflector ``k`` is
+    applied to row ``k+1`` alone (one (1, cols) pass), reflector ``k+1`` is
+    formed from that row, and the slab takes ONE combined rank-2 update
+    (``s'_{k+1} = W v_{k+1} - tau_k (v_k . v_{k+1}) W v_k`` — the standard
+    rank-2 composition, algebraically identical to two sequential rank-1
+    updates). The column loop's serial slab passes halve — at small N the
+    sweep is bound by exactly those (leaf, cols) VPU passes, not FLOPs
+    (docs/SCALE.md roofline: N=512 runs at 0.60x of the precision ceiling
+    on the single-column form).
     """
     cols = w_in.shape[1]
     dtype = w_in.dtype
@@ -529,45 +586,99 @@ def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
             diag > rr, rows_slab, jnp.where(diag == rr, one, zero)
         ).astype(dtype)
 
+    def reflector_parts(x, row):
+        """(v, beta, tau, inv_denom) of the Householder reflector that
+        annihilates row ``x`` past diagonal lane ``off + row``."""
+        d_eq = lane_ids == off + row
+        d_gt = lane_ids > off + row
+        alpha = jnp.sum(jnp.where(d_eq, x, zero))
+        sigma = jnp.sum(jnp.where(d_gt, x * x, zero))
+        norm = jnp.sqrt(alpha * alpha + sigma)
+        sign = jnp.where(alpha >= 0, one, -one)
+        beta = -sign * norm
+        denom = alpha - beta
+        safe = norm > 0
+        inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
+        tau = jnp.where(
+            safe, (beta - alpha) / jnp.where(safe, beta, one), zero
+        )
+        v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))
+        return v, beta, tau, inv_denom, d_eq, d_gt
+
+    def t_row_insert(tT_leaf, k, tau, z):
+        """Insert row ``k`` of the leaf T^T: ``-tau * z^T T^T`` at lanes
+        < k, ``tau`` on the diagonal (z: (leaf, 1) = V_{0..k-1} . v_k)."""
+        tT_row = -tau * jnp.sum(z * tT_leaf, axis=0, keepdims=True)
+        t_col_new = jnp.where(
+            t_lanes == k, tau, jnp.where(t_lanes < k, tT_row, zero)
+        )
+        return jnp.where(t_rows == k, t_col_new, tT_leaf)
+
+    if pair and leaf % 2:
+        raise ValueError(f"pair=True requires an even leaf, got {leaf}")
+
     for jl in range(0, block, leaf):
         tT_leaf = jnp.zeros((leaf, leaf), dtype)
-        for k in range(leaf):
+        for k in range(0, leaf, 2 if pair else 1):
             row = jl + k
             x = lv_out[row : row + 1, :]  # (1, cols) static sublane slice
-            d_eq = lane_ids == off + row
-            d_gt = lane_ids > off + row
-            alpha = jnp.sum(jnp.where(d_eq, x, zero))
-            sigma = jnp.sum(jnp.where(d_gt, x * x, zero))
-            norm = jnp.sqrt(alpha * alpha + sigma)
-            sign = jnp.where(alpha >= 0, one, -one)
-            beta = -sign * norm
-            denom = alpha - beta
-            safe = norm > 0
-            inv_denom = jnp.where(safe, one / jnp.where(safe, denom, one), zero)
-            tau = jnp.where(
-                safe, (beta - alpha) / jnp.where(safe, beta, one), zero
+            v, beta, tau, inv_denom, d_eq, d_gt = reflector_parts(x, row)
+
+            if not pair:
+                w_leaf = lv_out[jl : jl + leaf, :]  # static slice
+                s = jnp.sum(w_leaf * v, axis=1, keepdims=True)  # (leaf, 1)
+                # rank-1 update with a per-row gate (tau for rows > k, else
+                # 0): one fused FMA pass over the slab instead of FMA +
+                # full-slab select; row k is overwritten by a row write
+                gate = jnp.where(row_ids_leaf > k, tau, zero)  # (leaf, 1)
+                lv_out[jl : jl + leaf, :] = w_leaf - (gate * s) * v
+                lv_out[row : row + 1, :] = jnp.where(
+                    d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
+                )
+
+                # leaf-local T^T recurrence (row k): -tau z^T T^T, z = s[:k]
+                z = jnp.where(row_ids_leaf < k, s, zero)  # (leaf, 1)
+                tT_leaf = t_row_insert(tT_leaf, k, tau, z)
+                continue
+
+            # --- paired form: reflector k+1 from the singly-updated row,
+            # then ONE rank-2 slab pass for both -------------------------
+            row1 = row + 1
+            x1_raw = lv_out[row1 : row1 + 1, :]
+            s01 = jnp.sum(x1_raw * v)  # scalar: row_{k+1} . v_k
+            x1 = x1_raw - (tau * s01) * v
+            v1, beta1, tau1, inv_denom1, d_eq1, d_gt1 = reflector_parts(
+                x1, row1
             )
 
-            v = jnp.where(d_gt, x * inv_denom, jnp.where(d_eq, one, zero))
-
-            w_leaf = lv_out[jl : jl + leaf, :]  # static slice
-            s = jnp.sum(w_leaf * v, axis=1, keepdims=True)  # (leaf, 1)
-            # rank-1 update with a per-row gate (tau for rows > k, else 0):
-            # one fused FMA pass over the slab instead of FMA + full-slab
-            # select; row k is then overwritten by a single-row write
-            gate = jnp.where(row_ids_leaf > k, tau, zero)  # (leaf, 1)
-            lv_out[jl : jl + leaf, :] = w_leaf - (gate * s) * v
+            w_leaf = lv_out[jl : jl + leaf, :]
+            s0 = jnp.sum(w_leaf * v, axis=1, keepdims=True)  # W v_k
+            s1r = jnp.sum(w_leaf * v1, axis=1, keepdims=True)  # W v_{k+1}
+            c01 = jnp.sum(v * v1)  # v_k . v_{k+1}
+            s1 = s1r - (tau * c01) * s0  # (W - tau_k s0 v_k^T) v_{k+1}
+            gate0 = jnp.where(row_ids_leaf > k + 1, tau, zero)
+            gate1 = jnp.where(row_ids_leaf > k + 1, tau1, zero)
+            lv_out[jl : jl + leaf, :] = (
+                w_leaf - (gate0 * s0) * v - (gate1 * s1) * v1
+            )
             lv_out[row : row + 1, :] = jnp.where(
                 d_eq, beta, jnp.where(d_gt, x * inv_denom, x)
             )
-
-            # leaf-local T^T recurrence (row k): -tau * z^T T^T, z = s[:k]
-            z = jnp.where(row_ids_leaf < k, s, zero)  # (leaf, 1)
-            tT_row = -tau * jnp.sum(z * tT_leaf, axis=0, keepdims=True)
-            t_col_new = jnp.where(
-                t_lanes == k, tau, jnp.where(t_lanes < k, tT_row, zero)
+            lv_out[row1 : row1 + 1, :] = jnp.where(
+                d_eq1, beta1, jnp.where(d_gt1, x1 * inv_denom1, x1)
             )
-            tT_leaf = jnp.where(t_rows == k, t_col_new, tT_leaf)
+
+            # T^T rows k and k+1. Row k+1's z needs V_j . v_{k+1}: rows
+            # j < k read off s1r (their stored L lanes are below v1's
+            # support, so only the reflector tails contribute — same
+            # argument as the single-column form) and j = k is c01.
+            z0 = jnp.where(row_ids_leaf < k, s0, zero)
+            tT_leaf = t_row_insert(tT_leaf, k, tau, z0)
+            z1 = jnp.where(
+                row_ids_leaf < k, s1r,
+                jnp.where(row_ids_leaf == k, c01, zero),
+            )
+            tT_leaf = t_row_insert(tT_leaf, k + 1, tau1, z1)
 
         # --- merge the leaf T^T into the block-wide T^T -------------------
         # Only full-lane-width row strips are written (sublane slicing is
@@ -622,7 +733,7 @@ def _block_lq_kernel(off_in, w_in, lv_out, t_out, *, leaf, block, precision):
 
 
 def _block_lq(slab, off, *, leaf: int, block: int, interpret: bool = False,
-              precision: str = "highest"):
+              precision: str = "highest", pair: bool = False):
     """Run the block panel kernel on one (block, cols) slab.
 
     ``off`` may be a traced int32 scalar (SMEM), as in :func:`_leaf_lq`.
@@ -630,7 +741,8 @@ def _block_lq(slab, off, *, leaf: int, block: int, interpret: bool = False,
     cols = slab.shape[1]
     dtype = slab.dtype
     kernel = functools.partial(
-        _block_lq_kernel, leaf=leaf, block=block, precision=precision
+        _block_lq_kernel, leaf=leaf, block=block, precision=precision,
+        pair=pair,
     )
     extra = {}
     if _HAS_PLTPU and not interpret:
@@ -692,6 +804,7 @@ def _blocked_lq_l_impl(
     precision: str = "highest",
     panel: str = "auto",
     band=None,
+    pair_columns: bool = False,
 ):
     """Lower-triangular L of an LQ of wide ``W`` (rows <= cols), shape
     (rows, rows) — i.e. ``blocked_qr_r(W.T).T`` up to row signs, computed in
@@ -829,7 +942,7 @@ def _blocked_lq_l_impl(
                     slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
                 lv, tT_blk = _block_lq(
                     slab, off, leaf=leaf, block=block, interpret=interpret,
-                    precision=precision,
+                    precision=precision, pair=pair_columns,
                 )
                 blk = jax.lax.slice(lv, (0, 0), (block, cols_w))
                 v_blk = _split_lv(blk, off)  # (block, cols_w) reflector rows
@@ -841,7 +954,8 @@ def _blocked_lq_l_impl(
                     if cols_q > cols_w:
                         slab = jnp.pad(slab, ((0, 0), (0, cols_q - cols_w)))
                     lv, t = _leaf_lq(
-                        slab, off + jl, leaf=leaf, interpret=interpret
+                        slab, off + jl, leaf=leaf, interpret=interpret,
+                        pair=pair_columns,
                     )
                     lv = jax.lax.slice(lv, (0, 0), (leaf, cols_w))
                     blk = jax.lax.dynamic_update_slice(blk, lv, (jl, 0))
@@ -953,7 +1067,7 @@ blocked_lq_l = jax.jit(
     _blocked_lq_l_impl,
     static_argnames=(
         "leaf", "block", "lane_quant", "superblocks", "interpret",
-        "precision", "panel", "band",
+        "precision", "panel", "band", "pair_columns",
     ),
 )
 
@@ -1015,7 +1129,7 @@ def _gain_solve_lower(L1, L21, precision):
 def make_householder_update_from_products(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "auto",
+    panel: str = "auto", pair_columns: bool = False,
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`:
@@ -1035,7 +1149,7 @@ def make_householder_update_from_products(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
-            panel=panel, band=band,
+            panel=panel, band=band, pair_columns=pair_columns,
         )
         return L[m:, m:], L[m:, :m], L[:m, :m]  # (L3, L21, L1)
 
@@ -1068,7 +1182,7 @@ def make_householder_update_from_products(
 def make_householder_propagate(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "auto",
+    panel: str = "auto", pair_columns: bool = False,
 ):
     """Householder-LQ drop-in for
     :func:`pnmol_tpu.ops.sqrt.propagate_cholesky_factor`: the Cholesky-like
@@ -1098,7 +1212,7 @@ def make_householder_propagate(
     kw = dict(
         leaf=leaf, block=block, lane_quant=lane_quant,
         superblocks=superblocks, interpret=interpret, precision=precision,
-        panel=panel,
+        panel=panel, pair_columns=pair_columns,
     )
 
     def propagate(S1, S2):
@@ -1131,7 +1245,7 @@ def make_householder_propagate(
 def make_householder_lq_factorization(
     *, leaf: int = 32, block: int = 128, lane_quant: int = 2048,
     superblocks=None, interpret: bool = False, precision: str = "highest",
-    panel: str = "auto",
+    panel: str = "auto", pair_columns: bool = False,
 ):
     """A ``factorization=`` hook running the pre-array factorization in the
     wide (LQ) orientation of :func:`blocked_lq_l` — the TPU-preferred form:
@@ -1157,7 +1271,7 @@ def make_householder_lq_factorization(
         L = _blocked_lq_l_impl(
             W, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret, precision=precision,
-            panel=panel, band=band,
+            panel=panel, band=band, pair_columns=pair_columns,
         )
         # (posterior L3, cross L21, innovation L1) — all lower, directly
         return L[m:, m:], L[m:, :m], L[:m, :m]
@@ -1193,7 +1307,7 @@ def make_householder_lq_factorization(
         return _blocked_lq_l_impl(
             C, leaf=leaf, block=block, lane_quant=lane_quant,
             superblocks=superblocks, interpret=interpret,
-            precision=precision, panel=panel,
+            precision=precision, panel=panel, pair_columns=pair_columns,
         )
 
     factorization.tri = tri
@@ -1201,11 +1315,11 @@ def make_householder_lq_factorization(
     factorization.propagate = make_householder_propagate(
         leaf=leaf, block=block, lane_quant=lane_quant,
         superblocks=superblocks, interpret=interpret, precision=precision,
-        panel=panel,
+        panel=panel, pair_columns=pair_columns,
     )
     factorization.update_from_products = make_householder_update_from_products(
         leaf=leaf, block=block, lane_quant=lane_quant,
         superblocks=superblocks, interpret=interpret, precision=precision,
-        panel=panel,
+        panel=panel, pair_columns=pair_columns,
     )
     return factorization

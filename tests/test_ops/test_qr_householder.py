@@ -244,6 +244,37 @@ def test_lq_block_panel_matches_leaf_panel(shape):
     assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_block), 1)))) == 0.0
 
 
+@pytest.mark.parametrize("panel", ["block", "leaf"])
+@pytest.mark.parametrize("shape", [(16, 40), (64, 64), (72, 130)], ids=str)
+def test_lq_paired_columns_matches_single(shape, panel):
+    """``pair_columns=True`` (two reflectors per slab pass, one combined
+    rank-2 update) is algebraically the same sweep: factors match the
+    single-column kernels to roundoff and the Gram is exact."""
+    rng = np.random.default_rng(21)
+    W = jnp.asarray(rng.standard_normal(shape))
+    W = W.at[min(3, shape[0] - 1), :].set(0.0)  # degenerate row in a pair
+    L_single = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, interpret=True, panel=panel
+    )
+    L_pair = qh.blocked_lq_l(
+        W, leaf=8, block=16, lane_quant=32, interpret=True, panel=panel,
+        pair_columns=True,
+    )
+    np.testing.assert_allclose(L_pair, L_single, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        L_pair @ L_pair.T, W @ W.T, rtol=1e-10, atol=1e-10
+    )
+    assert float(jnp.max(jnp.abs(jnp.triu(jnp.asarray(L_pair), 1)))) == 0.0
+
+
+def test_lq_paired_columns_rejects_odd_leaf():
+    with pytest.raises(ValueError, match="even leaf"):
+        qh.blocked_lq_l(
+            jnp.zeros((10, 16)), leaf=5, block=10, lane_quant=16,
+            interpret=True, panel="block", pair_columns=True,
+        )
+
+
 @pytest.mark.parametrize("superblocks", [1, 2])
 def test_lq_block_panel_scan_form(superblocks):
     """Block-panel kernel under the scan-bodied sweep (runtime offsets)."""
