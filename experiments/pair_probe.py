@@ -50,11 +50,12 @@ def main():
 
     results = []
     for pair in (False, True):
-        d = n_points * 3  # nu = 2
-        leaf = 64 if d >= 8192 else 32
-        block = 256 if d >= 4096 else 128
-        factorization = qr_householder.make_householder_lq_factorization(
-            leaf=leaf, block=block, pair_columns=pair,
+        # Size leaf/block through the SAME helper the production solver uses
+        # (white.resolve_householder_hooks keys on the state-point count, not
+        # the stacked dim), so A/B conclusions transfer to the solver at
+        # every n_points — advisor round 4.
+        factorization, _ = white_module.resolve_householder_hooks(
+            n_points, pair_columns=pair
         )
         solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
             steprule=step_module.Constant(dt=0.001),
@@ -68,19 +69,27 @@ def main():
         dt = jnp.asarray(0.001, dtype)
 
         def scan_steps(mean, cov, dt):
+            # Thread real time through the carry: LINEAR solvers ignore
+            # t_next, but this probe gets copied — keep it correct for all.
             def body(carry, _):
-                m, c = carry
-                m2, c2, *_ = step_fn(m, c, dt, dt)
-                return (m2, c2), None
+                m, c, t = carry
+                t2 = t + dt
+                m2, c2, *_ = step_fn(m, c, t2, dt)
+                return (m2, c2, t2), None
 
-            (m, c), _ = jax.lax.scan(
-                body, (mean, cov), None, length=num_steps
+            (m, c, _), _ = jax.lax.scan(
+                body, (mean, cov, jnp.zeros((), dtype)), None,
+                length=num_steps,
             )
             return m, c
 
         run = jax.jit(scan_steps)
         m, c = run(state.y.mean, state.y.cov_sqrtm, dt)
         jax.block_until_ready(c)  # compile + first run
+        # checksum of the FIRST post-compile run (repeat-count independent):
+        # compared across configs below to catch numerical divergence of the
+        # paired form on the real end-to-end step
+        checksum = float(jnp.sum(m))
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -92,7 +101,7 @@ def main():
             "n": n_points,
             "ms_per_step": best * 1e3,
             "steps_per_sec": 1.0 / best,
-            "mean_checksum": float(jnp.sum(m)),
+            "mean_checksum": checksum,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
@@ -101,6 +110,9 @@ def main():
         print(json.dumps({
             "speedup_pair_over_single":
                 results[0]["ms_per_step"] / results[1]["ms_per_step"],
+            "checksum_delta": abs(
+                results[1]["mean_checksum"] - results[0]["mean_checksum"]
+            ),
         }))
 
 

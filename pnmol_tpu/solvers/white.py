@@ -930,21 +930,24 @@ def point_major_blockdiag(blocks):
     return bd[perm][:, perm]
 
 
-def resolve_householder_hooks(d: int):
+def resolve_householder_hooks(d: int, *, pair_columns: bool = False):
     """(step factorization, init update) Pallas-Householder hooks sized for a
     problem with ``d`` state points (latent solvers pass ``2d``).
 
     Wider blocks shorten the sweep's scan and deepen the MXU trailing
     contractions at large problems; since the scan-bodied sweep (round 3)
     the traced graph no longer scales with the leaf count, so the sizes are
-    a pure performance choice.
+    a pure performance choice. ``pair_columns`` forms two reflectors per
+    leaf slab pass (rank-2 update) in the step factorization — the measured
+    A/B for it lives in ``experiments/pair_probe.py``, which must size its
+    configs through THIS helper so probe conclusions transfer to the solver.
     """
     from pnmol_tpu.ops import qr_householder
 
     leaf = 64 if d >= 8192 else 32
     block = 256 if d >= 4096 else 128
     factorization = qr_householder.make_householder_lq_factorization(
-        leaf=leaf, block=block
+        leaf=leaf, block=block, pair_columns=pair_columns
     )
     init_update = qr_householder.make_householder_update_from_products(
         leaf=leaf, block=block
