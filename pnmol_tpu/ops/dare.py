@@ -54,9 +54,20 @@ def _qr_solve(W, *rhs):
     """Solve ``W x = b`` for each rhs via one shared QR of ``W``.
 
     QR (not LU): works in f64 on TPU, and ``W = I + G H`` with G, H PSD has
-    eigenvalues >= 1, so no pivoting is needed for stability.
+    eigenvalues >= 1, so no pivoting is needed for stability. Past
+    D >= 4096 the upper solve runs blocked: XLA's triangular-solve
+    expander keeps ~18 shrinking (D, K) temporaries live for a wide RHS —
+    at the N=1e4 steady seed (D = 2e4) those temps alone exceed a 16 GB
+    chip (measured OOM, docs/SCALE.md round 5; same wall as round 3's
+    init gain solve, ``ops/trisolve``).
     """
     Qm, Rm = jnp.linalg.qr(W)
+    if W.shape[0] >= 4096:
+        from pnmol_tpu.ops import trisolve
+
+        return tuple(
+            trisolve.tri_solve_upper_blocked(Rm, Qm.T @ b) for b in rhs
+        )
     return tuple(
         jax.scipy.linalg.solve_triangular(Rm, Qm.T @ b, lower=False)
         for b in rhs

@@ -80,3 +80,45 @@ def cho_solve_blocked(L, B, *, panel: int = 1024):
     """``(L L^T)^{-1} B`` from a lower Cholesky factor, blocked."""
     Y = tri_solve_lower_blocked(L, B, panel=panel)
     return tri_solve_lower_blocked(L, Y, transpose=True, panel=panel)
+
+
+def tri_solve_upper_blocked(U, B, *, panel: int = 1024,
+                            precision=jax.lax.Precision.HIGHEST):
+    """``U^{-1} B`` for UPPER-triangular ``U``, blocked backward
+    substitution — no ``U.T`` copy (a second (n, n) buffer is real memory
+    at the DARE solver's D = 2e4 shapes, ``ops/dare._qr_solve``).
+
+    Matches ``jax.scipy.linalg.solve_triangular(U, B, lower=False)`` to
+    roundoff. ``B`` may be 1-D or 2-D.
+    """
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    n = U.shape[0]
+    K = B.shape[1]
+    dtype = B.dtype
+    b = min(panel, _roundup(n, 8))
+    n_pad = _roundup(n, b)
+    if n_pad > n:
+        U = jnp.pad(U, ((0, n_pad - n), (0, n_pad - n)))
+        pad_diag = jnp.arange(n, n_pad)
+        U = U.at[pad_diag, pad_diag].set(1.0)
+        B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
+    n_panels = n_pad // b
+    rows = jnp.arange(n_pad)[:, None]
+
+    def bwd(k, X):
+        j = jnp.asarray((n_panels - 1 - k) * b, jnp.int32)
+        zi = jnp.zeros((), jnp.int32)
+        Ujj = jax.lax.dynamic_slice(U, (j, j), (b, b))
+        Bp = jax.lax.dynamic_slice(X, (j, zi), (b, K))
+        Xp = jax.scipy.linalg.solve_triangular(Ujj, Bp, lower=False)
+        X = jax.lax.dynamic_update_slice(X, Xp, (j, zi))
+        # rows above eliminate via their U[:, j:j+b] column strip
+        Ucols = jax.lax.dynamic_slice(U, (zi, j), (n_pad, b))
+        upd = jnp.dot(Ucols, Xp, precision=precision)
+        return X - jnp.where(rows < j, upd, jnp.zeros((), dtype))
+
+    X = jax.lax.fori_loop(0, n_panels, bwd, B)
+    X = X[:n]
+    return X[:, 0] if vec else X

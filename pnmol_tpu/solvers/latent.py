@@ -691,7 +691,9 @@ class _LatentForceEK1Base(pdefilter.PDEFilter):
             ek_order=self.EK_ORDER,
         )
 
-        if self.steady_state:
+        # empty options dict = "on, all defaults" (see white.py: the bare
+        # truthiness test silently disabled the mode for opts == {})
+        if self.steady_state or isinstance(self.steady_state, dict):
             from pnmol_tpu.odetools import step as step_module
 
             if not self.LINEAR:

@@ -521,6 +521,18 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
     )
 
 
+def _wide_lower_solve(L, B):
+    """``L^{-1} B`` routed through the blocked panel solve past the XLA
+    triangular-solve expander's wall (~18 live shrinking (m, K) temps for a
+    wide RHS — at the N=1e4 seed shapes, m ~ 1e4 x K = 2e4, those temps
+    alone OOM a 16 GB chip; measured round 5, same wall as ops/trisolve)."""
+    if L.shape[0] >= 4096:
+        from pnmol_tpu.ops import trisolve
+
+        return trisolve.tri_solve_lower_blocked(L, B)
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+
+
 def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
                         max_iters=64, tol=None, rebuild_fn=None):
     """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
@@ -558,7 +570,7 @@ def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
         if meascov_sqrtm is not None:
             del R  # only diag(R) was needed; drop the (m, m) buffer
         Lr = jnp.linalg.cholesky(R_eps)
-        Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
+        Wh = _wide_lower_solve(Lr, H)
         G0 = Wh.T @ Wh
         del Wh, R_eps
 
@@ -570,7 +582,7 @@ def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
                            donate=True)
             del A, Q  # consumed by the donated doubling carries
             A, Q = rebuild_fn()
-            Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
+            Wh = _wide_lower_solve(Lr, H)
             G0 = Wh.T @ Wh
             del Wh
             residual = dare.dare_residual(res.sigma, A, G0, Q)
@@ -1216,7 +1228,11 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             ek_order=self.EK_ORDER,
         )
 
-        if self.steady_state:
+        # an EMPTY options dict means "on, all defaults" — `if steady_state:`
+        # would silently disable the mode for it (the round-4 N=1e4 steady
+        # bench failure: every auto-resolved option fell back to a default,
+        # opts == {} -> falsy -> no steady cache)
+        if self.steady_state or isinstance(self.steady_state, dict):
             from pnmol_tpu.odetools import step as step_module
 
             if not self.LINEAR:

@@ -144,3 +144,27 @@ def test_blocks_tier_reconstructs_gain_and_factors(operands):
     assert jnp.allclose(cov_b2 @ cov_b2.T, cov_g2 @ cov_g2.T, atol=1e-10)
     white2 = jax.scipy.linalg.solve_triangular(innov_b2, z, lower=True)
     assert jnp.allclose(L21_2 @ white2, gain2 @ z, atol=1e-9)
+
+
+def test_tri_solve_upper_blocked_matches_xla():
+    """ops/trisolve upper variant (round 5: the DARE _qr_solve wide-RHS
+    wall at D=2e4) must match solve_triangular(U, B, lower=False)."""
+    import jax.scipy.linalg
+
+    import numpy as np
+
+    from pnmol_tpu.ops import trisolve
+
+    rng = np.random.default_rng(7)
+    for n, k, panel in [(13, 5, 4), (32, 17, 8), (40, 40, 16)]:
+        U = jnp.asarray(np.triu(rng.normal(size=(n, n))) + n * np.eye(n))
+        B = jnp.asarray(rng.normal(size=(n, k)))
+        got = trisolve.tri_solve_upper_blocked(U, B, panel=panel)
+        want = jax.scipy.linalg.solve_triangular(U, B, lower=False)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # 1-D rhs path
+    b = jnp.asarray(rng.normal(size=(13,)))
+    U = jnp.asarray(np.triu(rng.normal(size=(13, 13))) + 13 * np.eye(13))
+    got = trisolve.tri_solve_upper_blocked(U, b, panel=4)
+    want = jax.scipy.linalg.solve_triangular(U, b, lower=False)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

@@ -1001,3 +1001,23 @@ def test_gram_rowsharded_and_whiten_pipeline(device_mesh):
             (np.linalg.cholesky(Sd), True), np.asarray(z)
         )
         assert np.allclose(np.asarray(w), w_ref, atol=1e-9)
+
+
+def test_chol_pad_geometry_bounded_in_devices():
+    """The pad geometry must not inflate with the device count: rounding
+    ceil(d/P) up to an oversize panel made d_pad = P*panel grow linearly
+    in P (the round-4 N=1e5 memory analysis's 235 -> 366 GB anti-scaling
+    signal). With the clamp, d_pad stays within 2x of d for every P."""
+    from unittest import mock
+
+    from pnmol_tpu.parallel import sharded_linalg
+
+    d = 123944
+    for P in (8, 32, 64, 256):
+        mesh = mock.Mock()
+        mesh.shape = {"space": P}
+        b, r_loc, d_pad = sharded_linalg._chol_pad_geometry(
+            d, mesh, "space", 16384
+        )
+        assert b <= -(-d // P)
+        assert d_pad < 2 * d, (P, d_pad)

@@ -433,3 +433,13 @@ def test_latent_closed_loop_radius(heat):
     # 1 + O(nu log k / k) — POLYNOMIAL transient, not exponential growth.
     # The certificate asserts no genuine exponential instability.
     assert 0.0 < rho < 1.05
+
+
+def test_empty_options_dict_enables_steady_mode(heat):
+    """steady_state={} means "on, all defaults" — the round-4 N=1e4 bench
+    passed an all-defaults (empty) options dict and the bare truthiness
+    test silently disabled the mode (steady_cache stayed None)."""
+    solver = _solver(steady_state={})
+    solver.initialize(heat)
+    assert solver.steady_cache is not None
+    assert float(solver.steady_cache.delta) < 1e-8
