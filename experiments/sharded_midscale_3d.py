@@ -35,6 +35,13 @@ def main():
     parser.add_argument("--dt", type=float, default=0.01)
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--panel", type=int, default=64)
+    parser.add_argument("--two-qr", action="store_true",
+                        help="route every step through the memory-bounded "
+                             "two-QR split + measurement hooks (ring "
+                             "matmul, row-sharded innovation whitening) — "
+                             "the N=1e5 configuration, VERDICT r4 item 3")
+    parser.add_argument("--qr-loop", default="scan",
+                        choices=("scan", "unrolled"))
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -75,12 +82,14 @@ def main():
     state0 = solver.initialize(pde)
     mesh = meshes.make_mesh(args.devices, batch=1)
     cache_sharded = sharded_filter.shard_cache(
-        solver._cache, mesh, distributed_qr=True
+        solver._cache, mesh, distributed_qr=True,
+        shard_operands=args.two_qr,
     )
     solve = sharded_filter.make_space_sharded_constant_solve(
         cache=cache_sharded, num_derivatives=args.nu, mesh=mesh,
         dt=args.dt, num_steps=args.steps, linear=True,
         distributed_qr=True, panel_size=args.panel,
+        two_qr=args.two_qr, qr_loop=args.qr_loop,
     )
     t0 = time.perf_counter()
     with mesh:
@@ -110,6 +119,9 @@ def main():
         "num_steps": args.steps,
         "dt": args.dt,
         "devices": args.devices,
+        "pipeline": ("two_qr_memory_bounded" if args.two_qr
+                     else "fused_distributed_qr"),
+        "qr_loop": args.qr_loop if args.two_qr else None,
         "cov_shards": len(cov.addressable_shards),
         "dtype": str(mean.dtype),
         "mean_max_abs_err": mean_err,
@@ -123,9 +135,13 @@ def main():
         "sharded_seconds": round(sharded_s, 2),
     }
     print(json.dumps(record))
+    stem = "sharded_midscale_3d" + (
+        f"_n{args.n}_two_qr" if args.two_qr else
+        ("" if args.n == 10 else f"_n{args.n}")
+    )
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "bench_artifacts", "sharded_midscale_3d.json",
+        "bench_artifacts", f"{stem}.json",
     )
     with open(out, "w") as fh:
         json.dump(record, fh, indent=1)

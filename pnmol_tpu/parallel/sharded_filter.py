@@ -276,7 +276,8 @@ def make_space_sharded_latent_step(*, cache, num_derivatives, mesh, f=None,
 def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
                                       dt, num_steps, f=None, df=None,
                                       linear=True, latent=False,
-                                      distributed_qr=True, panel_size=None):
+                                      distributed_qr=True, panel_size=None,
+                                      two_qr=False, qr_loop="unrolled"):
     """End-to-end space-sharded constant-step solve (multi-step scan).
 
     The full ``simulate_final_state`` semantics of the constant-scan driver
@@ -286,14 +287,21 @@ def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
     final covariance factor rescaled by ``sqrt(diffusion^2)`` — shard-exact
     vs the single-device driver (tests/test_parallel.py). Returns a jitted
     ``solve(mean0, cov0, t0) -> (mean, cov, diffusion_sq)``.
+
+    ``two_qr=True`` (white only) runs every step through the memory-bounded
+    split + measurement hooks (see :func:`make_space_sharded_white_step`);
+    place the cache with ``shard_cache(..., shard_operands=True)``.
     """
     from pnmol_tpu.solvers import latent as latent_module
     from pnmol_tpu.solvers import white as white_module_
 
+    if two_qr and latent:
+        raise ValueError("two_qr is a white-solver configuration")
     replicated = NamedSharding(mesh, PartitionSpec())
     if distributed_qr:
         factorization = make_distributed_factorization(
-            mesh=mesh, panel_size=panel_size
+            mesh=mesh, panel_size=panel_size, qr_loop=qr_loop,
+            memory_bounded=two_qr,
         )
         cov_sharding = NamedSharding(mesh, PartitionSpec(None, "space"))
     else:
@@ -318,7 +326,7 @@ def make_space_sharded_constant_solve(*, cache, num_derivatives, mesh,
             mean, cov, _, _, diff_sq = attempt(
                 cache_arg, mean, cov, t_next, dt_arr,
                 num_derivatives=num_derivatives, f=f, df=df, linear=linear,
-                fused=True, factorization=factorization,
+                fused=not two_qr, factorization=factorization,
             )
             cov = jax.lax.with_sharding_constraint(cov, cov_sharding)
             mean = jax.lax.with_sharding_constraint(mean, replicated)
@@ -445,7 +453,8 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
                                         mesh, latent=False, panel_size=None,
                                         tol=None, max_iters=200,
                                         meascov_dt_scaled=False,
-                                        dtype=None, chunk_iters=None):
+                                        dtype=None, chunk_iters=None,
+                                        seed=None, diagnostics=None):
     """Riccati fixed point of the sharded step (linear + constant dt).
 
     The steady-state mode's convergence loop with the pre-array QR replaced
@@ -466,6 +475,14 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
     "Factorization shootout"). ``chunk_iters`` bounds one device execution
     (remote relays kill executions past ~5 minutes); convergence is checked
     host-side between chunks.
+
+    ``seed`` (default: True for the white solver, off for latent): replace
+    the initial factor with the DISTRIBUTED doubling (SDA) solution of the
+    DARE (:func:`pnmol_tpu.parallel.sharded_dare.sharded_steady_seed`) so
+    the recursion below only polishes — the sharded tier previously
+    converged by recursion alone, which is O(1/dt) distributed QRs and
+    burned the iteration cap at fine dx (VERDICT round 4 item 6). Seed
+    diagnostics merge into ``diagnostics`` if a dict is passed.
     """
     import contextlib
 
@@ -497,6 +514,21 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
                 cache,
             )
             cov0 = cov0.astype(ric_dtype)
+        if seed is None:
+            seed = not latent
+        if seed and not latent:
+            from pnmol_tpu.parallel import sharded_dare
+
+            cov0, seed_info = sharded_dare.sharded_steady_seed(
+                cache, dt, mesh, num_derivatives=num_derivatives,
+                meascov_dt_scaled=meascov_dt_scaled,
+                panel_size=panel_size,
+            )
+            # seed factor is row-sharded; the recursion carries the
+            # column-sharded layout the distributed QR consumes
+            cov0 = jax.device_put(cov0, cov_sharding)
+            if diagnostics is not None:
+                diagnostics.update(seed_info)
         if max_iters < 1:
             raise ValueError(f"max_iters must be >= 1, got {max_iters}")
         if tol is None:
@@ -508,16 +540,37 @@ def converge_space_sharded_steady_state(*, cache, cov0, dt, num_derivatives,
             # caller owns cov0, so donation must only ever eat loop-internal
             # carries. (The promote path's astype already made a copy.)
             cov0 = jnp.copy(cov0)
+        row = NamedSharding(mesh, PartitionSpec("space", None))
+        space = mesh.shape["space"]
+
+        def place_steady(sc):
+            # The frozen blocks must leave the jit SHARDED: unconstrained,
+            # GSPMD replicates them — 72.8 GB/device of outputs at the
+            # N=1e5 config (the (D, m) gain alone is ~109 GB total), the
+            # round-5 memory analysis's steady-leg wall. Same plan as
+            # shard_steady_cache.
+            def rowish(v):
+                if v.ndim == 2 and v.shape[0] % space == 0:
+                    return jax.lax.with_sharding_constraint(v, row)
+                return v
+
+            return sc._replace(
+                cov_inf=jax.lax.with_sharding_constraint(
+                    sc.cov_inf, cov_sharding
+                ),
+                L21=rowish(sc.L21),
+                Sl_inv=rowish(sc.Sl_inv),
+            )
 
         @functools.partial(jax.jit, donate_argnums=donate)
         def run(cache_arg, C0, dt_arr):
             C0 = jax.lax.with_sharding_constraint(C0, cov_sharding)
-            return converge(
+            return place_steady(converge(
                 cache_arg, C0, dt_arr,
                 num_derivatives=num_derivatives, fused=True,
                 factorization=factorization, tol=tol, max_iters=chunk,
                 **kwargs,
-            )
+            ))
 
         dt_arr = jnp.asarray(dt, cov0.dtype)
         total_iters, delta, C_cur, num_chunks = 0, float("inf"), cov0, 0

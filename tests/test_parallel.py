@@ -734,6 +734,12 @@ def test_space_sharded_steady_state_matches_single_device(device_mesh,
             cache=cache_sharded, cov0=state0.y.cov_sqrtm, dt=dt,
             num_derivatives=2, mesh=device_mesh, latent=latent_mode,
             panel_size=16,
+            # recursion-only: this test pins the sharded PIPELINE's
+            # exactness against the single-device recursion from the same
+            # start; the seeded path (different polish trajectory, agrees
+            # only to the stopping tol) is pinned separately by
+            # test_sharded_steady_seed_polishes_in_few_iterations
+            seed=False,
         )
     # same fixed point as the single-device recursion (factor Gram; the
     # factor itself is unique only up to right-rotations)
@@ -1021,3 +1027,86 @@ def test_chol_pad_geometry_bounded_in_devices():
         )
         assert b <= -(-d // P)
         assert d_pad < 2 * d, (P, d_pad)
+
+
+def test_sda_sharded_matches_dense_doubling(device_mesh):
+    """parallel/sharded_dare.sda_sharded (round 5: distributed doubling via
+    the SPD Woodbury solve + blocked Cholesky) must reproduce the dense
+    SDA fixed point (ops/dare.sda) at oracle precision."""
+    import numpy as np
+
+    from pnmol_tpu.ops import dare
+    from pnmol_tpu.parallel import sharded_dare
+
+    rng = np.random.default_rng(3)
+    D = 24
+    M = rng.normal(size=(D, D))
+    A = jnp.asarray(0.9 * M / np.max(np.abs(np.linalg.eigvals(M))))
+    Gh = rng.normal(size=(D, D))
+    G = jnp.asarray(Gh @ Gh.T / D + 0.1 * np.eye(D))
+    Qh = rng.normal(size=(D, D))
+    Q = jnp.asarray(Qh @ Qh.T / D + 0.1 * np.eye(D))
+
+    dense = dare.sda(A, G, Q, tol=1e-13)
+    sharded = sharded_dare.sda_sharded(A, G, Q, device_mesh, tol=1e-13,
+                                       panel_size=4)
+    np.testing.assert_allclose(
+        np.asarray(sharded.sigma), np.asarray(dense.sigma),
+        rtol=1e-9, atol=1e-11,
+    )
+    assert float(dare.dare_residual(sharded.sigma, A, G, Q)) < 1e-10
+    assert int(sharded.iterations) <= int(dense.iterations) + 2
+
+
+def test_sharded_steady_seed_polishes_in_few_iterations(device_mesh):
+    """The seeded sharded convergence must polish in a handful of
+    iterations (the recursion-only path needed O(1/dt) — VERDICT r4 #6),
+    and still match the single-device steady cache."""
+    import numpy as np
+
+    import pnmol_tpu
+    from pnmol_tpu import kernels
+    from pnmol_tpu.odetools import step as step_module
+
+    heat = pnmol_tpu.pde.examples.heat_1d_discretized(dx=1 / 23, tmax=1.0)
+    solver = pnmol_tpu.white.LinearWhiteNoiseEK1(
+        steprule=step_module.Constant(dt=0.01),
+        spatial_kernel=kernels.Matern52() + kernels.WhiteNoise(),
+        steady_state=True,
+    )
+    state0 = solver.initialize(heat)
+    cache_sh = sharded_filter.shard_cache(
+        solver._cache, device_mesh, distributed_qr=True
+    )
+    diagnostics = {}
+    steady = sharded_filter.converge_space_sharded_steady_state(
+        cache=cache_sh, cov0=jax.device_put(
+            state0.y.cov_sqrtm,
+            jax.sharding.NamedSharding(
+                device_mesh, jax.sharding.PartitionSpec(None, "space")
+            ),
+        ),
+        dt=0.01, num_derivatives=solver.num_derivatives, mesh=device_mesh,
+        panel_size=8, diagnostics=diagnostics,
+    )
+    # seeded: a few polish iterations, not O(1/dt)
+    assert int(steady.iterations) <= 10, int(steady.iterations)
+    # certificate present and small (the heat system's conditioning ~1e5
+    # refracts through the sigma = C C^T residual form; the block
+    # comparisons below are the exactness check)
+    assert diagnostics["dare_residual"] < 1e-5
+    # frozen blocks match the single-device steady cache (gain via Gram)
+    # both sides polish to the same stopping tol from DIFFERENT seed
+    # trajectories; agreement is tol refracted through cond(Sl) (~1e-3
+    # relative on the largest whitener entries), not roundoff-exact
+    ref = solver.steady_cache
+    np.testing.assert_allclose(
+        np.asarray(steady.L21 @ steady.Sl_inv),
+        np.asarray(ref.L21 @ ref.Sl_inv),
+        rtol=5e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(steady.cov_inf @ steady.cov_inf.T),
+        np.asarray(ref.cov_inf @ ref.cov_inf.T),
+        rtol=5e-3, atol=1e-4,
+    )
