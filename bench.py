@@ -290,6 +290,9 @@ def _child(mode: str) -> None:
         jax.block_until_ready(out)
         return float(jnp.sum(out[0]))
 
+    # initial amplitude BEFORE the loop: mean is donated into run() and its
+    # buffer is consumed by the first call
+    mean_absmax0 = float(jnp.max(jnp.abs(mean[0]))) if steady else None
     # mean/cov are DONATED: each call consumes its inputs, and the timing
     # repeats continue the solve from the previous output so only one
     # state generation is ever resident (steady-state throughput; the
@@ -308,6 +311,17 @@ def _child(mode: str) -> None:
             best = min(best, time.perf_counter() - t0)
 
     assert not bool(jnp.any(jnp.isnan(out[0]))), "bench produced NaNs"
+    if steady:
+        # decay certificate: after (1 + REPEATS) x num_steps frozen-gain
+        # mean steps, the heat solution must have DECAYED from its initial
+        # amplitude — the direct on-device stability evidence to pair with
+        # closed_loop_rho (the round-3 N=5184 f32 failure mode was growth
+        # ~20%/512 steps)
+        steady_info["mean_absmax_initial"] = round(mean_absmax0, 8)
+        steady_info["mean_absmax_final"] = round(
+            float(jnp.max(jnp.abs(out[0][0]))), 8
+        )
+        steady_info["decay_steps"] = (1 + REPEATS) * num_steps
     print(
         "BENCH_CHILD "
         + json.dumps(
