@@ -217,6 +217,18 @@ def main():
 
     import datetime
 
+    path = os.path.join(os.path.dirname(HERE), "bench_artifacts",
+                        "tpu_work_precision.json")
+    # merge with prior runs: legs are run separately around chip/core
+    # availability; re-run legs replace their own rows only
+    ran = {(r["problem"], r["platform"], r["n"]) for r in all_rows}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("rows", [])
+        all_rows = [
+            r for r in prior
+            if (r["problem"], r["platform"], r["n"]) not in ran
+        ] + all_rows
     out = {
         "experiment": "tpu_work_precision",
         "note": ("figure4-style constant-dt work-precision; TPU legs are "
@@ -227,8 +239,6 @@ def main():
         "recorded_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
     }
-    path = os.path.join(os.path.dirname(HERE), "bench_artifacts",
-                        "tpu_work_precision.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")

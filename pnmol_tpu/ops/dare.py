@@ -74,52 +74,65 @@ def _qr_solve(W, *rhs):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",),
+@functools.partial(jax.jit, static_argnames=("chunk", "solver"),
                    donate_argnums=(0, 1, 2))
-def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk):
+def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk, solver):
     """Run up to ``chunk`` doubling iterations on device (donated carries).
 
-    The ``W = I + G H`` solve has two forms: the shared QR (small D), and —
-    past D >= 4096 — the SPD Woodbury form through the PSD structure:
-    ``H = C C^T`` (Cholesky), ``M = I + C^T G C`` (SPD, >= I),
-    ``W^{-1} B = B - G C M^{-1} C^T B``. Same O(D^3) FLOPs, but no
-    (D, D) orthogonal factor and no QR workspace: at the N=1e4 f32 seed
-    (D = 2e4, (D, D) = 1.6 GB) the QR body's peak liveness exceeded the
-    16 GB chip at EXECUTION time (measured round 5); the Cholesky body
-    fits. ``H_k`` is PD along the iteration (``H_0 = Q > 0`` and the
-    update adds a PSD term), so the factorization is safe; a relative
-    eps jitter guards f32 conditioning.
+    The ``W = I + G H`` solve has two forms: the shared QR
+    (``solver="qr"``, small D), and — past D >= 4096 — the SPD Woodbury
+    form through the PSD structure (``solver="chol"``): ``H = C C^T``
+    (Cholesky), ``M = I + C^T G C`` (SPD, >= I), and the PRECOMPUTED
+    projector ``P = C M^{-1} C^T`` so that ``W^{-1} B = B - G (P B)``
+    for every rhs. Same O(D^3) FLOPs, but no (D, D) orthogonal factor,
+    no QR workspace, and one shared (D, D) instead of per-rhs solve
+    chains; `optimization_barrier` fences the factorization phase from
+    the update phase so XLA's scheduler can retire C/M/Lm before the
+    rank-updates allocate. At the N=1e4 f32 seed (D = 2e4, one (D, D)
+    = 1.6 GB) the QR body's peak liveness exceeded the 16 GB chip at
+    EXECUTION time (measured round 5). ``H_k`` is PD along the
+    iteration (``H_0 = Q > 0`` and the update adds a PSD term), so the
+    factorization is safe; a relative eps jitter guards f32
+    conditioning.
     """
     dtype = Hk.dtype
     D = Hk.shape[0]
-    use_chol = D >= 4096
+    use_chol = solver == "chol"
     eye = None if use_chol else jnp.eye(D, dtype=dtype)
     diag = jnp.arange(D)
 
-    def chol_winv(Gk, Hk, *rhs):
+    def chol_projector(Gk, Hk):
+        from pnmol_tpu.ops import trisolve
+
         jit_eps = 16.0 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(Hk))
         C = jnp.linalg.cholesky(Hk.at[diag, diag].add(jit_eps))
         M = (C.T @ (Gk @ C)).at[diag, diag].add(1.0)
-        M = 0.5 * (M + M.T)
-        Lm = jnp.linalg.cholesky(M)
-        from pnmol_tpu.ops import trisolve
-
-        outs = []
-        for b in rhs:
-            Z = trisolve.cho_solve_blocked(Lm, C.T @ b)
-            outs.append(b - Gk @ (C @ Z))
-        return tuple(outs)
+        Lm = jnp.linalg.cholesky(0.5 * (M + M.T))
+        S = trisolve.cho_solve_blocked(Lm, C.T)
+        return C @ S  # P = C M^{-1} C^T
 
     def body(carry):
         Ak, Gk, Hk, it, local, _ = carry
         if use_chol:
-            WinvA, WinvG = chol_winv(Gk, Hk, Ak, Gk)
+            P = chol_projector(Gk, Hk)
+            # fence: everything the projector needed (C, M, Lm, S) is
+            # dead past here — keep the scheduler from interleaving the
+            # updates' allocations with the factorization's
+            Ak, Gk, Hk, P = jax.lax.optimization_barrier((Ak, Gk, Hk, P))
+            WinvA = Ak - Gk @ (P @ Ak)
+            A_new = Ak @ WinvA
+            H_new = Hk + Ak.T @ (Hk @ WinvA)
+            Ak, Gk, P, A_new, H_new = jax.lax.optimization_barrier(
+                (Ak, Gk, P, A_new, H_new)
+            )
+            WinvG = Gk - Gk @ (P @ Gk)
+            G_new = Gk + Ak @ (WinvG @ Ak.T)
         else:
             W = eye + Gk @ Hk
             WinvA, WinvG = _qr_solve(W, Ak, Gk)
-        A_new = Ak @ WinvA
-        G_new = Gk + Ak @ (WinvG @ Ak.T)
-        H_new = Hk + Ak.T @ (Hk @ WinvA)
+            A_new = Ak @ WinvA
+            G_new = Gk + Ak @ (WinvG @ Ak.T)
+            H_new = Hk + Ak.T @ (Hk @ WinvA)
         # the exact iterates are symmetric; roundoff asymmetry compounds
         # through the quadratic composition, so re-symmetrize each step
         G_new = 0.5 * (G_new + G_new.T)
@@ -142,7 +155,8 @@ def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk):
     return Ak, Gk, Hk, it, delta
 
 
-def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None, donate=False):
+def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None, donate=False,
+        solver=None):
     """Solve ``Sigma = A Sigma (I + G Sigma)^{-1} A^T + Q`` by doubling.
 
     Parameters: ``A`` (D, D) transition, ``G = H^T R^{-1} H`` (D, D) PSD
@@ -183,11 +197,17 @@ def sda(A, G, Q, *, tol=1e-12, max_iters=64, chunk=None, donate=False):
         Gk = G.astype(dtype) + 0  # donated carry: never consume caller's G
         Hk = Q + 0  # donated carry: never consume the caller's Q buffer
     del A, G, Q
+    if solver is None:
+        # past D >= 4096 the QR body's peak liveness is the binding
+        # constraint on a 16 GB chip; the Cholesky-projector body fits
+        # (see _sda_chunk). ``solver=`` overrides for tests/experiments.
+        solver = "chol" if Hk.shape[0] >= 4096 else "qr"
     it = jnp.zeros((), jnp.int32)
     delta = float("inf")
     while int(it) < max_iters and (int(it) == 0 or delta >= tol):
         Ak, Gk, Hk, it, delta_arr = _sda_chunk(
-            Ak, Gk, Hk, it, jnp.asarray(tol, dtype), chunk=chunk
+            Ak, Gk, Hk, it, jnp.asarray(tol, dtype), chunk=chunk,
+            solver=solver,
         )
         delta = float(delta_arr)
     return SDAResult(

@@ -84,3 +84,23 @@ def test_closed_loop_growth_estimates_spectral_radius():
     v0 = jax.random.normal(jax.random.PRNGKey(4), (4,))
     rho = float(dare.closed_loop_growth(apply_T, v0, num_iters=512))
     assert abs(rho - rho_true) < 5e-3
+
+
+def test_sda_chol_solver_matches_qr_solver():
+    """The large-D Cholesky-projector body (round 5: W^{-1}B = B - G(PB),
+    P = C M^{-1} C^T — the form whose peak liveness fits a 16 GB chip at
+    D=2e4) must reproduce the QR body's fixed point exactly."""
+    rng = np.random.default_rng(11)
+    D = 24
+    M = rng.normal(size=(D, D))
+    A = jnp.asarray(0.9 * M / np.max(np.abs(np.linalg.eigvals(M))))
+    Gh = rng.normal(size=(D, D))
+    G = jnp.asarray(Gh @ Gh.T / D + 0.1 * np.eye(D))
+    Qh = rng.normal(size=(D, D))
+    Q = jnp.asarray(Qh @ Qh.T / D + 0.1 * np.eye(D))
+
+    qr = dare.sda(A, G, Q, tol=1e-13, solver="qr")
+    ch = dare.sda(A, G, Q, tol=1e-13, solver="chol")
+    np.testing.assert_allclose(np.asarray(ch.sigma), np.asarray(qr.sigma),
+                               rtol=1e-9, atol=1e-11)
+    assert float(dare.dare_residual(ch.sigma, A, G, Q)) < 1e-10
