@@ -82,18 +82,22 @@ def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk, solver):
     The ``W = I + G H`` solve has two forms: the shared QR
     (``solver="qr"``, small D), and — past D >= 4096 — the SPD Woodbury
     form through the PSD structure (``solver="chol"``): ``H = C C^T``
-    (Cholesky), ``M = I + C^T G C`` (SPD, >= I), and the PRECOMPUTED
-    projector ``P = C M^{-1} C^T`` so that ``W^{-1} B = B - G (P B)``
-    for every rhs. Same O(D^3) FLOPs, but no (D, D) orthogonal factor,
-    no QR workspace, and one shared (D, D) instead of per-rhs solve
-    chains; `optimization_barrier` fences the factorization phase from
-    the update phase so XLA's scheduler can retire C/M/Lm before the
-    rank-updates allocate. At the N=1e4 f32 seed (D = 2e4, one (D, D)
-    = 1.6 GB) the QR body's peak liveness exceeded the 16 GB chip at
-    EXECUTION time (measured round 5). ``H_k`` is PD along the
-    iteration (``H_0 = Q > 0`` and the update adds a PSD term), so the
-    factorization is safe; a relative eps jitter guards f32
-    conditioning.
+    (Cholesky), ``M = I + C^T G C`` (SPD, >= I), and the HALF-projector
+    ``Y = Lm^{-1} C^T`` (``M = Lm Lm^T``) so that the Woodbury projector
+    is ``P = C M^{-1} C^T = Y^T Y`` and ``W^{-1} B = B - G Y^T (Y B)``
+    for every rhs. Same O(D^3)-class FLOPs as the QR form, but no
+    (D, D) orthogonal factor, no QR workspace, ONE lower triangular
+    solve (no upper phase), and — the round-5 OOM fix at the N=1e4 f32
+    seed (D = 2e4, one (D, D) = 1.6 GB) — only ``Y`` stays live through
+    the update phase: materializing ``P`` itself put the peak at ~9
+    resident (D, D) buffers vs ~7 for the ``Y`` form, the difference
+    between ResourceExhausted and fitting a 16 GB chip next to the
+    solver cache. `optimization_barrier` fences the phases so XLA's
+    scheduler retires each phase's temporaries before the next
+    allocates, and the update phase is ordered to drop ``WinvA`` before
+    ``H_new`` allocates. ``H_k`` is PD along the iteration (``H_0 = Q >
+    0`` and the update adds a PSD term), so the factorization is safe;
+    a relative eps jitter guards f32 conditioning.
     """
     dtype = Hk.dtype
     D = Hk.shape[0]
@@ -101,31 +105,38 @@ def _sda_chunk(Ak, Gk, Hk, it, tol, *, chunk, solver):
     eye = None if use_chol else jnp.eye(D, dtype=dtype)
     diag = jnp.arange(D)
 
-    def chol_projector(Gk, Hk):
+    def chol_half_projector(Gk, Hk):
         from pnmol_tpu.ops import trisolve
 
         jit_eps = 16.0 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(Hk))
         C = jnp.linalg.cholesky(Hk.at[diag, diag].add(jit_eps))
         M = (C.T @ (Gk @ C)).at[diag, diag].add(1.0)
         Lm = jnp.linalg.cholesky(0.5 * (M + M.T))
-        S = trisolve.cho_solve_blocked(Lm, C.T)
-        return C @ S  # P = C M^{-1} C^T
+        if D >= 4096:
+            return trisolve.tri_solve_lower_blocked(Lm, C.T)
+        return jax.scipy.linalg.solve_triangular(Lm, C.T, lower=True)
 
     def body(carry):
         Ak, Gk, Hk, it, local, _ = carry
         if use_chol:
-            P = chol_projector(Gk, Hk)
-            # fence: everything the projector needed (C, M, Lm, S) is
+            Y = chol_half_projector(Gk, Hk)
+            # fence: everything the factorization needed (C, M, Lm) is
             # dead past here — keep the scheduler from interleaving the
             # updates' allocations with the factorization's
-            Ak, Gk, Hk, P = jax.lax.optimization_barrier((Ak, Gk, Hk, P))
-            WinvA = Ak - Gk @ (P @ Ak)
+            Ak, Gk, Hk, Y = jax.lax.optimization_barrier((Ak, Gk, Hk, Y))
+            WinvA = Ak - Gk @ (Y.T @ (Y @ Ak))
+            # both consumers of WinvA (t2, A_new) run before H_new
+            # allocates, so WinvA retires first — peak stays at 7 buffers
+            t2 = Hk @ WinvA
             A_new = Ak @ WinvA
-            H_new = Hk + Ak.T @ (Hk @ WinvA)
-            Ak, Gk, P, A_new, H_new = jax.lax.optimization_barrier(
-                (Ak, Gk, P, A_new, H_new)
+            Ak, Gk, Hk, Y, t2, A_new = jax.lax.optimization_barrier(
+                (Ak, Gk, Hk, Y, t2, A_new)
             )
-            WinvG = Gk - Gk @ (P @ Gk)
+            H_new = Hk + Ak.T @ t2
+            Ak, Gk, Y, A_new, H_new = jax.lax.optimization_barrier(
+                (Ak, Gk, Y, A_new, H_new)
+            )
+            WinvG = Gk - Gk @ (Y.T @ (Y @ Gk))
             G_new = Gk + Ak @ (WinvG @ Ak.T)
         else:
             W = eye + Gk @ Hk

@@ -497,7 +497,13 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
     square-root measurement update of the predicted fixed point's
     Cholesky factor — fully on device; see :func:`sda_seed_from_dense`).
     """
-    A, H, Q, R, p = white_dense_system(
+    # ownership-transfer convention: the dense (D, D)/(m, D) operands go
+    # straight into a dict WITHOUT local names — a caller-frame reference
+    # would keep each device buffer alive through the doubling loop even
+    # after the callee drops/donates it (1.6 GB per (D, D) at the N=1e4
+    # seed; measured ResourceExhausted, round 5)
+    ops = {}
+    ops["A"], ops["H"], ops["Q"], ops["R"], p = white_dense_system(
         cache, dt, num_derivatives=num_derivatives,
         meascov_dt_scaled=meascov_dt_scaled,
     )
@@ -516,7 +522,7 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
                     cache.Ql @ cache.Ql.T)
 
     return sda_seed_from_dense(
-        A, H, Q, R, p, meascov_sqrtm=E_bc, bc_nugget=bc_nugget,
+        ops, p, meascov_sqrtm=E_bc, bc_nugget=bc_nugget,
         max_iters=max_iters, tol=tol, rebuild_fn=rebuild_AQ,
     )
 
@@ -533,13 +539,18 @@ def _wide_lower_solve(L, B):
     return jax.scipy.linalg.solve_triangular(L, B, lower=True)
 
 
-def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
+def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
                         max_iters=64, tol=None, rebuild_fn=None):
     """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
 
-    Used by the white AND latent seeds (the latent one assembles its own
-    stacked dense system with exactly-zero measurement noise). See
-    :func:`steady_state_sda_seed` for the nugget/jitter rationale.
+    ``ops`` is a dict ``{"A", "H", "Q", "R"}`` whose entries this function
+    POPS — an ownership transfer. Callers must not keep their own
+    references to the arrays (build the dict without local names, as
+    :func:`steady_state_sda_seed` does): a surviving caller-frame
+    reference keeps the device buffer alive through the doubling loop,
+    and at the N=1e4 seed shapes every stray (D, D)/(m, D) is 0.8-1.6 GB
+    of the 16 GB chip. See :func:`steady_state_sda_seed` for the
+    nugget/jitter rationale.
 
     ``meascov_sqrtm`` is the (m, m) noise FACTOR (``R = E E^T``); when
     omitted it is derived as ``chol(R + eps I)`` scaled back, which is
@@ -547,15 +558,21 @@ def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
 
     ``rebuild_fn() -> (A, Q)``: when given, the dense ``A``/``Q``/``G0``
     buffers are DONATED into the doubling loop and rebuilt afterwards for
-    the ``dare_residual`` certificate — at the N=1e4 f32 seed shapes the
-    extra liveness through the loop is the difference between fitting a
-    16 GB chip and ResourceExhausted (docs/SCALE.md round 4).
+    the ``dare_residual`` certificate, and the (m, D)/(m, m) measurement
+    operands ``H``/``Lr`` are STASHED TO HOST memory across the loop
+    (they are only read again after it) — at the N=1e4 f32 seed shapes
+    the combined extra liveness is the difference between fitting a
+    16 GB chip and ResourceExhausted (docs/SCALE.md rounds 4-5).
     """
     import numpy as _np
 
     from pnmol_tpu.ops import dare
 
     with jax.default_matmul_precision("highest"):
+        A = ops.pop("A")
+        H = ops.pop("H")
+        Q = ops.pop("Q")
+        R = ops.pop("R")
         dtype = Q.dtype
         if tol is None:
             tol = 1e-12 if dtype == jnp.float64 else 1e-6
@@ -578,9 +595,19 @@ def sda_seed_from_dense(A, H, Q, R, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
             res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters)
             residual = dare.dare_residual(res.sigma, A, G0, Q)
         else:
+            # host-stash H/Lr through the doubling loop: both are only
+            # read again afterwards, and on the 16 GB chip their ~1.2 GB
+            # is real headroom for the loop's (D, D) working set
+            stash = jax.default_backend() != "cpu"
+            if stash:
+                H_host, Lr_host = _np.asarray(H), _np.asarray(Lr)
+                del H, Lr
             res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters,
                            donate=True)
             del A, Q  # consumed by the donated doubling carries
+            if stash:
+                H, Lr = jnp.asarray(H_host), jnp.asarray(Lr_host)
+                del H_host, Lr_host
             A, Q = rebuild_fn()
             Wh = _wide_lower_solve(Lr, H)
             G0 = Wh.T @ Wh
