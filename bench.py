@@ -303,8 +303,14 @@ def _child(mode: str) -> None:
         _force(out)
         compile_s = time.perf_counter() - t_compile0
 
+        # CPU child takes extra best-of draws: host contention is strictly
+        # one-sided (it only ever slows a run), and best-of-3 left the
+        # official vs_baseline swinging ~20% across rounds with zero code
+        # change (cpu_f64 1.21 -> 1.53 across BENCH_r02..r04 — VERDICT r4
+        # weak #7); more draws tighten the minimum toward the true speed.
+        repeats = REPEATS if mode == "device" else max(REPEATS, 6)
         best = float("inf")
-        for _ in range(REPEATS):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             out = run(cache, *out)
             _force(out)
