@@ -712,6 +712,12 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
     converging from scratch at the closed loop's O(1/dt) mixing rate. Seed
     diagnostics merge into the ``diagnostics`` dict if one is passed.
 
+    ``C0`` may be passed as a one-element list (a MOVE): the function pops
+    it so the caller's frame holds no reference — when the SDA seed runs,
+    the incoming init factor is dead weight through the doubling loop
+    (1.6 GB at the N=1e4 f32 shapes; the seed replaces it entirely), and
+    a caller-frame reference would keep it resident.
+
     ``opts["dtype"]="float64"`` runs the RECURSION in f64 on an f32 problem
     and casts the frozen blocks back: at D ~ 1e4 the f32 QR noise times the
     covariance conditioning exceeds any useful stationarity tolerance (the
@@ -723,6 +729,8 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
     """
     import contextlib
 
+    if isinstance(C0, list):  # move semantics — take ownership
+        (C0,) = (C0.pop(),)
     out_dtype = C0.dtype
     ric_dtype = opts.get("dtype")
     promote = ric_dtype is not None and jnp.dtype(ric_dtype) != out_dtype
@@ -752,6 +760,10 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
         if use_seed:
             from pnmol_tpu.utils import debug as debug_util
 
+            # the seed replaces the init factor: free it BEFORE the
+            # doubling loop (with the list-move convention above this is
+            # the last reference)
+            C0 = None
             debug_util.dump_live_arrays("pre_seed")
             C0, seed_info = seed_fn(cache, dt0)
             if diagnostics is not None:
@@ -1234,11 +1246,6 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             chol_gram, pde.E_sqrtm, pde.R_sqrtm
         ))
 
-        self.iwp = iwp.IntegratedWienerTransition(
-            num_derivatives=self.num_derivatives,
-            wiener_process_dimension=d,
-            wp_diffusion_sqrtm=chol_gram,
-        )
         self._cache = WhiteSolverCache(
             A1d=A1d, Ql=Ql, L=pde.L, B=pde.B, E_bc_sqrtm=E_bc
         )
@@ -1274,6 +1281,21 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                     "stationary factors are specific to one dt)."
                 )
             opts = self.steady_state if isinstance(self.steady_state, dict) else {}
+            # liveness discipline for the seed's doubling loop (N=1e4 f32:
+            # the loop peak plus ~2 GB of externals is the 16 GB chip —
+            # measured ResourceExhausted, round 5): the init factor moves
+            # into run_steady_convergence via the list convention (the
+            # seed replaces it), and the (d, d) Gram factor — only needed
+            # again for self.iwp below — rides out the convergence in
+            # host memory
+            import numpy as _np
+
+            stash_gram = jax.default_backend() != "cpu"
+            if stash_gram:
+                chol_gram_host = _np.asarray(chol_gram)
+                del chol_gram
+            C0_box = [C0]
+            del C0
             dt0 = jnp.asarray(self.steprule.dt, dtype=m0.dtype)
             # dtype-aware default tolerance: 1e-8 is below f32 resolution of
             # the Gram diagonal, so an f32 run would always burn max_iters
@@ -1286,7 +1308,7 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             )
             self.steady_diagnostics = {}
             self.steady_cache = run_steady_convergence(
-                converge_white_steady_state, self._cache, C0, dt0, opts,
+                converge_white_steady_state, self._cache, C0_box, dt0, opts,
                 default_tol,
                 seed_fn=seed_fn,
                 diagnostics=self.steady_diagnostics,
@@ -1298,12 +1320,20 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             )
             mark("steady_riccati", self.steady_cache)
             C0 = self.steady_cache.cov_inf
+            if stash_gram:
+                chol_gram = jnp.asarray(chol_gram_host)
+                del chol_gram_host
             self._step_fn = make_steady_state_white_step(
                 cache=self._cache,
                 steady=self.steady_cache,
                 num_derivatives=self.num_derivatives,
             )
 
+        self.iwp = iwp.IntegratedWienerTransition(
+            num_derivatives=self.num_derivatives,
+            wiener_process_dimension=d,
+            wp_diffusion_sqrtm=chol_gram,
+        )
         self.init_profile = mark.profile
         y = rv.MultivariateNormal(mean=iwp.flat_to_mean(m0, n), cov_sqrtm=C0)
         return pdefilter.PDEFilterState(
