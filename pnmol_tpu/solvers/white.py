@@ -476,6 +476,48 @@ def white_dense_system(cache, dt, *, num_derivatives, meascov_dt_scaled=False):
     return A, H, Q, R, p
 
 
+@jax.jit
+def _factored_dare_residual(sigma, Wh, A1d, Ql):
+    """DARE residual without dense ``A``/``G``/``Q`` operands.
+
+    Algebra: with ``sigma = C C^T`` (PD) and ``G = Wh^T Wh``,
+    ``sigma (I + G sigma)^{-1} = C (I + C^T G C)^{-1} C^T = Y^T Y`` where
+    ``M = I + Z^T Z`` (``Z = Wh C``), ``M = Lm Lm^T``, ``Y = Lm^{-1} C^T``
+    — the same half-projector trick as the SDA chol body. The transition
+    applies through the Kronecker point-block structure
+    (:func:`pnmol_tpu.ops.iwp.apply_stack_matrix`) and the process noise
+    through its factor, so the (D, D) dense ``A``, ``G``, ``Q`` of
+    :func:`pnmol_tpu.ops.dare.dare_residual` are never rebuilt — at the
+    N=1e4 f32 seed that rebuild (A + Q + eye + G0, ~6.4 GB) was the
+    post-loop memory peak (round 5). Matches the dense residual to
+    roundoff (tests/test_solvers/test_steady_state.py).
+    """
+    from pnmol_tpu.ops import trisolve
+
+    D = sigma.shape[0]
+    dtype = sigma.dtype
+    diag = jnp.arange(D)
+    with jax.default_matmul_precision("highest"):
+        sig = 0.5 * (sigma + sigma.T)
+        jit_eps = 16.0 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(sig))
+        C = jnp.linalg.cholesky(sig.at[diag, diag].add(jit_eps))
+        Z = Wh @ C  # (m, D)
+        M = (Z.T @ Z).at[diag, diag].add(1.0)
+        Lm = jnp.linalg.cholesky(0.5 * (M + M.T))
+        if D >= 4096:
+            Y = trisolve.tri_solve_lower_blocked(Lm, C.T)
+        else:
+            Y = jax.scipy.linalg.solve_triangular(Lm, C.T, lower=True)
+        X = Y.T @ Y  # sigma (I + G sigma)^{-1}, symmetric
+        # A X A^T = A (A X)^T for symmetric X — no explicit transpose of
+        # the result needed
+        T1 = iwp.apply_stack_matrix(A1d, X)
+        F = iwp.apply_stack_matrix(A1d, T1.T) + Ql @ Ql.T
+        return jnp.max(jnp.abs(sig - F)) / (
+            jnp.max(jnp.abs(sig)) + jnp.finfo(dtype).tiny
+        )
+
+
 def steady_state_sda_seed(cache, dt, *, num_derivatives,
                           meascov_dt_scaled=False, bc_nugget=1e-6,
                           max_iters=64, tol=None):
@@ -497,34 +539,65 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
     square-root measurement update of the predicted fixed point's
     Cholesky factor — fully on device; see :func:`sda_seed_from_dense`).
     """
-    # ownership-transfer convention: the dense (D, D)/(m, D) operands go
+    import numpy as _np
+
+    # cache MOVE: callers may pass the cache as a one-element list — the
+    # seed then owns the only live reference, and can host-stash the
+    # cache's big blocks (Ql (D, D), E_bc (m, m)) through the doubling
+    # loop. With multi-frame references those blocks stay resident on the
+    # chip for the whole loop (2 GB at the N=1e4 f32 seed — measured
+    # ResourceExhausted, round 5). The restored cache is pushed back into
+    # the same list before returning.
+    boxed = isinstance(cache, list)
+    if boxed:
+        box = cache
+        cache = box.pop()
+
+    # ownership-transfer convention for the dense operands too: they go
     # straight into a dict WITHOUT local names — a caller-frame reference
     # would keep each device buffer alive through the doubling loop even
-    # after the callee drops/donates it (1.6 GB per (D, D) at the N=1e4
-    # seed; measured ResourceExhausted, round 5)
+    # after the callee drops/donates it (1.6 GB per (D, D) at this size)
     ops = {}
     ops["A"], ops["H"], ops["Q"], ops["R"], p = white_dense_system(
         cache, dt, num_derivatives=num_derivatives,
         meascov_dt_scaled=meascov_dt_scaled,
     )
-    E_bc = cache.E_bc_sqrtm
-    if meascov_dt_scaled:
-        E_bc = jnp.sqrt(dt) * E_bc
 
-    def rebuild_AQ():
-        # dense (A, Q) for the post-SDA residual certificate; rebuilt so
-        # the SDA loop itself never holds them (donate + rebuild is ~5 GB
-        # of peak-liveness at the N=1e4 f32 seed shapes)
-        dtype = cache.Ql.dtype
-        eye = jnp.eye(cache.Ql.shape[0], dtype=dtype)
-        with jax.default_matmul_precision("highest"):
-            return (iwp.apply_stack_matrix(cache.A1d, eye),
-                    cache.Ql @ cache.Ql.T)
+    stash = boxed and jax.default_backend() != "cpu"
+    holder = {"cache": cache}
+    if stash:
+        Ql_host = _np.asarray(cache.Ql)
+        Ebc_host = _np.asarray(cache.E_bc_sqrtm)
+        dummy = jnp.zeros((1, 1), cache.Ql.dtype)
+        holder["cache"] = cache._replace(Ql=dummy, E_bc_sqrtm=dummy)
+    del cache
 
-    return sda_seed_from_dense(
-        ops, p, meascov_sqrtm=E_bc, bc_nugget=bc_nugget,
-        max_iters=max_iters, tol=tol, rebuild_fn=rebuild_AQ,
+    def _restore():
+        c = holder["cache"]
+        if stash and c.Ql.shape == (1, 1):
+            c = c._replace(
+                Ql=jnp.asarray(Ql_host), E_bc_sqrtm=jnp.asarray(Ebc_host)
+            )
+            holder["cache"] = c
+        return c
+
+    def meascov_fn():
+        E_bc = _restore().E_bc_sqrtm
+        if meascov_dt_scaled:
+            E_bc = jnp.sqrt(jnp.asarray(dt, E_bc.dtype)) * E_bc
+        return E_bc
+
+    def residual_fn(sigma, Wh):
+        c = _restore()
+        return _factored_dare_residual(sigma, Wh, c.A1d, c.Ql)
+
+    out = sda_seed_from_dense(
+        ops, p, meascov_sqrtm=meascov_fn, bc_nugget=bc_nugget,
+        max_iters=max_iters, tol=tol, residual_fn=residual_fn,
     )
+    if boxed:
+        box.append(_restore())
+    return out
 
 
 def _wide_lower_solve(L, B):
@@ -540,7 +613,7 @@ def _wide_lower_solve(L, B):
 
 
 def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
-                        max_iters=64, tol=None, rebuild_fn=None):
+                        max_iters=64, tol=None, residual_fn=None):
     """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
 
     ``ops`` is a dict ``{"A", "H", "Q", "R"}`` whose entries this function
@@ -552,17 +625,23 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
     of the 16 GB chip. See :func:`steady_state_sda_seed` for the
     nugget/jitter rationale.
 
-    ``meascov_sqrtm`` is the (m, m) noise FACTOR (``R = E E^T``); when
-    omitted it is derived as ``chol(R + eps I)`` scaled back, which is
-    exact for the zero and full-rank cases the seeds produce.
+    ``meascov_sqrtm`` is the (m, m) noise FACTOR (``R = E E^T``), or a
+    CALLABLE returning it (resolved only after the doubling loop, so the
+    factor need not be device-resident during it); when omitted it is
+    derived as ``chol(R + eps I)``, which is exact for the zero and
+    full-rank cases the seeds produce.
 
-    ``rebuild_fn() -> (A, Q)``: when given, the dense ``A``/``Q``/``G0``
-    buffers are DONATED into the doubling loop and rebuilt afterwards for
-    the ``dare_residual`` certificate, and the (m, D)/(m, m) measurement
-    operands ``H``/``Lr`` are STASHED TO HOST memory across the loop
-    (they are only read again after it) — at the N=1e4 f32 seed shapes
-    the combined extra liveness is the difference between fitting a
-    16 GB chip and ResourceExhausted (docs/SCALE.md rounds 4-5).
+    ``residual_fn(sigma, Wh) -> residual``: when given, the dense
+    ``A``/``Q``/``G0`` buffers are DONATED into the doubling loop (no
+    rebuild — the residual certificate is computed operator-form from the
+    whitened measurement ``Wh = Lr^{-1} H``, e.g.
+    :func:`_factored_dare_residual`), and ``H``/``Wh`` are STASHED TO
+    HOST across the loop. At the N=1e4 f32 seed shapes the combined
+    liveness this removes (dense rebuild ~6.4 GB post-loop, ~1.6 GB
+    through it) is the difference between fitting a 16 GB chip and
+    ResourceExhausted (docs/SCALE.md rounds 4-5). Without it the dense
+    :func:`pnmol_tpu.ops.dare.dare_residual` runs on the retained
+    operands (the small-problem path).
     """
     import numpy as _np
 
@@ -589,32 +668,37 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
         Lr = jnp.linalg.cholesky(R_eps)
         Wh = _wide_lower_solve(Lr, H)
         G0 = Wh.T @ Wh
-        del Wh, R_eps
+        del R_eps
 
-        if rebuild_fn is None:
+        if residual_fn is None:
+            del Wh
             res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters)
             residual = dare.dare_residual(res.sigma, A, G0, Q)
+            del A, Q, Lr
         else:
-            # host-stash H/Lr through the doubling loop: both are only
-            # read again afterwards, and on the 16 GB chip their ~1.2 GB
+            del Lr  # the certificate + posterior update never read it
+            # host-stash H/Wh through the doubling loop: both are only
+            # read again afterwards, and on the 16 GB chip their ~1.6 GB
             # is real headroom for the loop's (D, D) working set
             stash = jax.default_backend() != "cpu"
             if stash:
-                H_host, Lr_host = _np.asarray(H), _np.asarray(Lr)
-                del H, Lr
+                H_host, Wh_host = _np.asarray(H), _np.asarray(Wh)
+                del H, Wh
+            from pnmol_tpu.utils import debug as debug_util
+
+            debug_util.dump_live_arrays("pre_sda")
             res = dare.sda(A, G0, Q, tol=tol, max_iters=max_iters,
                            donate=True)
             del A, Q  # consumed by the donated doubling carries
             if stash:
-                H, Lr = jnp.asarray(H_host), jnp.asarray(Lr_host)
-                del H_host, Lr_host
-            A, Q = rebuild_fn()
-            Wh = _wide_lower_solve(Lr, H)
-            G0 = Wh.T @ Wh
+                Wh = jnp.asarray(Wh_host)
+                del Wh_host
+            residual = residual_fn(res.sigma, Wh)
             del Wh
-            residual = dare.dare_residual(res.sigma, A, G0, Q)
-            del A, Q
-        del G0, Lr
+            if stash:
+                H = jnp.asarray(H_host)
+                del H_host
+        del G0
 
         # Filtered stationary FACTOR without ever forming the filtered
         # covariance P (P is rank-deficient along the exactly-constrained
@@ -637,6 +721,8 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
                     R + nug * jnp.eye(R.shape[0], dtype=dtype)),
                 jnp.zeros_like(R),
             )
+        elif callable(meascov_sqrtm):
+            meascov_sqrtm = meascov_sqrtm()
         if not bool(jnp.all(jnp.isfinite(C_pred))):
             # f32 fallback: cond(sigma) can exceed f32's Cholesky range on
             # stiff fine-dx systems; retry with an eps-scaled jitter (the
@@ -731,9 +817,20 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
 
     if isinstance(C0, list):  # move semantics — take ownership
         (C0,) = (C0.pop(),)
+    # the cache may arrive boxed too: the seed then owns the only live
+    # reference and host-stashes the cache's big blocks through its
+    # doubling loop (see steady_state_sda_seed). The final cache is
+    # pushed back into the same list for the caller.
+    cache_box = cache if isinstance(cache, list) else None
+    if cache_box is not None:
+        cache = cache_box.pop()
     out_dtype = C0.dtype
     ric_dtype = opts.get("dtype")
     promote = ric_dtype is not None and jnp.dtype(ric_dtype) != out_dtype
+    # only the promote path must retain the original-dtype cache for the
+    # box return (its working copy is a cast); holding a second reference
+    # otherwise would defeat the seed's host-stash
+    cache_in = cache if promote else None
     # under the X32 policy jax_enable_x64 is off and astype(float64)
     # silently truncates back to f32 — the promotion needs the scoped
     # enable_x64 around BOTH the casts and the converge traces
@@ -765,7 +862,16 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
             # the last reference)
             C0 = None
             debug_util.dump_live_arrays("pre_seed")
-            C0, seed_info = seed_fn(cache, dt0)
+            if cache_box is not None and not promote:
+                # pass ownership into the seed so it can host-stash the
+                # cache's big blocks through the doubling loop (promote
+                # keeps cache_in pinned anyway — it is the small-D path)
+                seed_box = [cache]
+                del cache
+                C0, seed_info = seed_fn(seed_box, dt0)
+                cache = seed_box.pop()
+            else:
+                C0, seed_info = seed_fn(cache, dt0)
             if diagnostics is not None:
                 diagnostics.update(seed_info)
 
@@ -801,6 +907,8 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
                 if jnp.issubdtype(v.dtype, jnp.floating) else v)
             for k, v in sc._asdict().items()
         })
+    if cache_box is not None:
+        cache_box.append(cache_in if promote else cache)
     return sc
 
 
@@ -1214,7 +1322,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
         m0, C0 = mark("init_update_qr", wrap_donate(_phase_qr)(
             HCsub, C00, E_bc_nugget, B1, z_pde, u0
         ))
-        del C00, HCsub, E_bc_nugget
+        # HCsub/C00/E_bc_nugget were donated into the QR phase, but B1 was
+        # not — the frame reference kept the (d, d) block resident through
+        # the steady seed's doubling loop (0.4 GB at N=1e4, round 5)
+        del HCsub, C00, E_bc_nugget, B1, z_pde
 
         if self.propagate_band == "interleaved" and not self.fused:
             # The interleaved banded propagate requires a LOWER-TRIANGULAR
@@ -1246,27 +1357,36 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
             chol_gram, pde.E_sqrtm, pde.R_sqrtm
         ))
 
-        self._cache = WhiteSolverCache(
+        cache = WhiteSolverCache(
             A1d=A1d, Ql=Ql, L=pde.L, B=pde.B, E_bc_sqrtm=E_bc
         )
-        self._step_fn = make_white_step_fn(
-            cache=self._cache,
-            num_derivatives=self.num_derivatives,
-            f=f,
-            df=df,
-            linear=self.LINEAR,
-            meascov_dt_scaled=self.meascov_dt_scaled,
-            factorization=self.factorization,
-            fused=self.fused,
-            propagate_band=self.propagate_band,
-            ek_order=self.EK_ORDER,
-        )
-
+        # drop the frame-local aliases: during the steady seed the cache
+        # moves (boxed) into run_steady_convergence so its big blocks can
+        # ride out the doubling loop in host memory — a surviving local
+        # name here would pin the device buffers
+        del Ql, E_bc
         # an EMPTY options dict means "on, all defaults" — `if steady_state:`
         # would silently disable the mode for it (the round-4 N=1e4 steady
         # bench failure: every auto-resolved option fell back to a default,
         # opts == {} -> falsy -> no steady cache)
-        if self.steady_state or isinstance(self.steady_state, dict):
+        steady_on = (
+            bool(self.steady_state) or isinstance(self.steady_state, dict)
+        )
+        if not steady_on:
+            self._cache = cache
+            self._step_fn = make_white_step_fn(
+                cache=cache,
+                num_derivatives=self.num_derivatives,
+                f=f,
+                df=df,
+                linear=self.LINEAR,
+                meascov_dt_scaled=self.meascov_dt_scaled,
+                factorization=self.factorization,
+                fused=self.fused,
+                propagate_band=self.propagate_band,
+                ek_order=self.EK_ORDER,
+            )
+        if steady_on:
             from pnmol_tpu.odetools import step as step_module
 
             if not self.LINEAR:
@@ -1307,8 +1427,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 **{k: opts[k] for k in ("bc_nugget",) if k in opts},
             )
             self.steady_diagnostics = {}
+            cache_box = [cache]
+            del cache
             self.steady_cache = run_steady_convergence(
-                converge_white_steady_state, self._cache, C0_box, dt0, opts,
+                converge_white_steady_state, cache_box, C0_box, dt0, opts,
                 default_tol,
                 seed_fn=seed_fn,
                 diagnostics=self.steady_diagnostics,
@@ -1318,13 +1440,15 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 propagate_band=self.propagate_band,
                 meascov_dt_scaled=self.meascov_dt_scaled,
             )
+            cache = cache_box.pop()
+            self._cache = cache
             mark("steady_riccati", self.steady_cache)
             C0 = self.steady_cache.cov_inf
             if stash_gram:
                 chol_gram = jnp.asarray(chol_gram_host)
                 del chol_gram_host
             self._step_fn = make_steady_state_white_step(
-                cache=self._cache,
+                cache=cache,
                 steady=self.steady_cache,
                 num_derivatives=self.num_derivatives,
             )

@@ -443,3 +443,35 @@ def test_empty_options_dict_enables_steady_mode(heat):
     solver.initialize(heat)
     assert solver.steady_cache is not None
     assert float(solver.steady_cache.delta) < 1e-8
+
+
+def test_factored_dare_residual_matches_dense(heat):
+    """The operator-form DARE residual (no dense A/G/Q rebuilt — the
+    round-5 post-loop memory fix in the seed path) equals the dense
+    certificate to roundoff."""
+    from pnmol_tpu.ops import dare
+
+    solver = _solver()
+    solver.initialize(heat)
+    cache = solver._cache
+    dt = 1e-3
+    A, H, Q, R, p = white.white_dense_system(
+        cache, dt, num_derivatives=solver.num_derivatives
+    )
+    # same G0 floor construction as sda_seed_from_dense
+    HQ_gram_diag = jnp.sum((H @ Q) * H, axis=1)
+    scale = jnp.maximum(jnp.max(jnp.diag(R)), jnp.max(HQ_gram_diag))
+    nug = (1e-6 ** 2) * scale
+    R_eps = R + nug * jnp.eye(R.shape[0], dtype=Q.dtype)
+    Lr = jnp.linalg.cholesky(R_eps)
+    Wh = jax.scipy.linalg.solve_triangular(Lr, H, lower=True)
+    G0 = Wh.T @ Wh
+    res = dare.sda(A, G0, Q, tol=1e-12)
+
+    dense = float(dare.dare_residual(res.sigma, A, G0, Q))
+    factored = float(
+        white._factored_dare_residual(res.sigma, Wh, cache.A1d, cache.Ql)
+    )
+    # identical algebra through different factorizations: agree to the
+    # certificate's own roundoff scale
+    assert abs(dense - factored) <= 1e-7 + 0.1 * max(dense, factored)
