@@ -520,7 +520,7 @@ def _factored_dare_residual(sigma, Wh, A1d, Ql):
 
 def steady_state_sda_seed(cache, dt, *, num_derivatives,
                           meascov_dt_scaled=False, bc_nugget=1e-6,
-                          max_iters=64, tol=None):
+                          max_iters=64, tol=None, update_fn=None):
     """Solve the steady-state covariance directly by doubling (SDA).
 
     Returns ``(C0, info)``: ``C0`` the stationary POSTERIOR factor in the
@@ -594,6 +594,7 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
     out = sda_seed_from_dense(
         ops, p, meascov_sqrtm=meascov_fn, bc_nugget=bc_nugget,
         max_iters=max_iters, tol=tol, residual_fn=residual_fn,
+        update_fn=update_fn,
     )
     if boxed:
         box.append(_restore())
@@ -613,7 +614,8 @@ def _wide_lower_solve(L, B):
 
 
 def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
-                        max_iters=64, tol=None, residual_fn=None):
+                        max_iters=64, tol=None, residual_fn=None,
+                        update_fn=None):
     """Shared SDA-seed core over a dense ``(A, H, Q, R)`` system.
 
     ``ops`` is a dict ``{"A", "H", "Q", "R"}`` whose entries this function
@@ -630,6 +632,15 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
     factor need not be device-resident during it); when omitted it is
     derived as ``chol(R + eps I)``, which is exact for the zero and
     full-rank cases the seeds produce.
+
+    ``update_fn``: the square-root measurement-update primitive for the
+    posterior factor (``(HC, C, R) -> (posterior, L21, Sl)``), default
+    :func:`pnmol_tpu.ops.sqrt.update_sqrt_from_products`. Callers at
+    scale pass their problem-sized Pallas hook
+    (:func:`resolve_householder_hooks`' init update): the plain XLA QR of
+    the ((D+m), (m+D)) update pre-array was the post-loop OOM at the
+    N=1e4 f32 seed (round 5) — the blocked LQ runs it in O(matrix)
+    memory, exactly as it does for the init QR at the same shapes.
 
     ``residual_fn(sigma, Wh) -> residual``: when given, the dense
     ``A``/``Q``/``G0`` buffers are DONATED into the doubling loop (no
@@ -694,6 +705,10 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
                 Wh = jnp.asarray(Wh_host)
                 del Wh_host
             residual = residual_fn(res.sigma, Wh)
+            # pull the certificate to host NOW: it sequences the
+            # residual's working set ahead of the posterior update's —
+            # their (D, D) peaks must not overlap on a 16 GB chip
+            residual = float(residual)
             del Wh
             if stash:
                 H = jnp.asarray(H_host)
@@ -712,7 +727,10 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
         # factor. The update pre-array QR handles exactly-zero noise rows
         # the same way the per-step pipeline does every step, and returns
         # the lower-triangular posterior factor directly.
+        sda_iterations = int(res.iterations)
+        sda_delta = float(res.delta)
         sigma = 0.5 * (res.sigma + res.sigma.T)
+        del res  # only sigma (and the scalars above) survive
         C_pred = jnp.linalg.cholesky(sigma)
         if meascov_sqrtm is None:
             meascov_sqrtm = jnp.where(
@@ -732,13 +750,16 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
             C_pred = jnp.linalg.cholesky(
                 sigma + jit_eps * jnp.eye(sigma.shape[0], dtype=dtype)
             )
-        C_post, _, _ = sqrt.update_sqrt_from_products(
-            H @ C_pred, C_pred, meascov_sqrtm
+        del sigma  # C_pred carries it from here
+        HC = H @ C_pred
+        del H
+        C_post, _, _ = (update_fn or sqrt.update_sqrt_from_products)(
+            HC, C_pred, meascov_sqrtm
         )
         C0 = iwp.scale_stack(p, C_post)
     info = {
-        "sda_iterations": int(res.iterations),
-        "sda_delta": float(res.delta),
+        "sda_iterations": sda_iterations,
+        "sda_delta": sda_delta,
         "dare_residual": float(residual),
     }
     return C0, info
@@ -844,6 +865,11 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
                 converge_kwargs, factorization=None, fused=False,
                 propagate_band=None,
             )
+            if seed_fn is not None:
+                # the Pallas update hook is f32-only; the promoted seed
+                # falls back to the plain XLA update (outer partial
+                # keyword overrides the inner binding)
+                seed_fn = functools.partial(seed_fn, update_fn=None)
             cache = jax.tree.map(
                 lambda x: x.astype(ric_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -1424,6 +1450,10 @@ class _WhiteNoiseEK1Base(pdefilter.PDEFilter):
                 steady_state_sda_seed,
                 num_derivatives=self.num_derivatives,
                 meascov_dt_scaled=self.meascov_dt_scaled,
+                # posterior update through the problem-sized Pallas hook:
+                # plain XLA QR of the ((D+m), (m+D)) update pre-array was
+                # the post-doubling OOM at the N=1e4 f32 seed (round 5)
+                update_fn=init_update,
                 **{k: opts[k] for k in ("bc_nugget",) if k in opts},
             )
             self.steady_diagnostics = {}
