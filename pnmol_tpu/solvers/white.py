@@ -582,14 +582,27 @@ def steady_state_sda_seed(cache, dt, *, num_derivatives,
         return c
 
     def meascov_fn():
-        E_bc = _restore().E_bc_sqrtm
+        # restores ONLY the (m, m) noise factor: the posterior update
+        # that consumes it never reads Ql (which residual_fn re-stashed)
+        c = holder["cache"]
+        if stash and c.E_bc_sqrtm.shape == (1, 1):
+            c = c._replace(E_bc_sqrtm=jnp.asarray(Ebc_host))
+            holder["cache"] = c
+        E_bc = c.E_bc_sqrtm
         if meascov_dt_scaled:
             E_bc = jnp.sqrt(jnp.asarray(dt, E_bc.dtype)) * E_bc
         return E_bc
 
     def residual_fn(sigma, Wh):
         c = _restore()
-        return _factored_dare_residual(sigma, Wh, c.A1d, c.Ql)
+        r = float(_factored_dare_residual(sigma, Wh, c.A1d, c.Ql))
+        if stash:
+            # the posterior update next never reads Ql: send it back to
+            # host until the final restore (1.6 GB at the N=1e4 seed)
+            holder["cache"] = holder["cache"]._replace(
+                Ql=jnp.zeros((1, 1), holder["cache"].Ql.dtype)
+            )
+        return r
 
     out = sda_seed_from_dense(
         ops, p, meascov_sqrtm=meascov_fn, bc_nugget=bc_nugget,
@@ -753,9 +766,18 @@ def sda_seed_from_dense(ops, p, *, meascov_sqrtm=None, bc_nugget=1e-6,
         del sigma  # C_pred carries it from here
         HC = H @ C_pred
         del H
-        C_post, _, _ = (update_fn or sqrt.update_sqrt_from_products)(
-            HC, C_pred, meascov_sqrtm
-        )
+        # the update runs JITTED with donated operands: run eagerly, the
+        # ((D+m), (m+D)) pre-array assembly materializes every concat
+        # (~10 GB transient at the N=1e4 shapes — the round-5 OOM after
+        # the loop itself fit), while under jit XLA owns the liveness,
+        # reuses the donated HC/C_pred, and DCEs the unused L21/Sl blocks
+        update = update_fn or sqrt.update_sqrt_from_products
+        donate = () if jax.default_backend() == "cpu" else (0, 1)
+        C_post = jax.jit(
+            lambda HC_, C_, E_: update(HC_, C_, E_)[0],
+            donate_argnums=donate,
+        )(HC, C_pred, meascov_sqrtm)
+        del HC, C_pred
         C0 = iwp.scale_stack(p, C_post)
     info = {
         "sda_iterations": sda_iterations,
