@@ -217,7 +217,7 @@ def latent_attempt_step(cache, mean, cov_sqrtm, t_next, dt, *, num_derivatives,
 def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                                  fused=True, factorization=None,
                                  propagate_band=None, tol=1e-8,
-                                 max_iters=200):
+                                 max_iters=200, harvest=True):
     """Iterate the latent step's covariance recursion to its fixed point.
 
     The latent analog of
@@ -317,11 +317,20 @@ def converge_latent_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     # pnmol_tpu.solvers.white.converge_white_steady_state; no-op on CPU
     with jax.default_matmul_precision("highest"):
         C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
+        if not harvest:
+            # chunked-loop form: frozen blocks are extracted once by a
+            # final harvest call (see the white analog)
+            dummy = jnp.zeros((1, 1), dtype)
+            return SteadyStateCache(
+                cov_inf=C_conv, L21=dummy, Sl=dummy, Sl_inv=dummy,
+                err_vec=jnp.zeros((d,), dtype), iterations=iters,
+                delta=delta,
+            )
         C_inf, L21, Sl = cov_step(C_conv)
 
         HQl = apply_H(cache.Ql)
-        S_err = HQl @ HQl.T
-        err_vec = dt * jnp.sqrt(jnp.diag(S_err))[:d]
+        # diag only — no (m, m) S Gram
+        err_vec = dt * jnp.sqrt(jnp.sum(HQl * HQl, axis=1))[:d]
         from pnmol_tpu.solvers.white import _triangular_inverse
 
         Sl_inv = _triangular_inverse(Sl)

@@ -324,8 +324,17 @@ def _triangular_inverse(Sl):
 def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
                                 fused=True, factorization=None,
                                 propagate_band=None, meascov_dt_scaled=False,
-                                tol=1e-8, max_iters=200):
+                                tol=1e-8, max_iters=200, harvest=True):
     """Iterate the white step's covariance recursion to its fixed point.
+
+    ``harvest=False`` skips the frozen-block extraction (the extra
+    cov_step + L21/Sl/Sl_inv/err_vec work) and returns dummies in those
+    slots — the chunked host loop (:func:`run_steady_convergence`) only
+    reads ``(cov_inf, iterations, delta)`` between chunks, and fusing the
+    harvest into every chunk's XLA program both re-did its work per chunk
+    and co-scheduled its ~3-4 GB of outputs/temps with the sweep's peak
+    (the round-5 polish OOM at N=1e4). The final harvest runs as its own
+    jit with ``max_iters=0``.
 
     For LINEAR problems at constant ``dt`` the measurement operator is
     time-invariant, so the covariance half of the Kalman recursion is
@@ -438,11 +447,20 @@ def converge_white_steady_state(cache, cov_sqrtm, dt, *, num_derivatives,
     # correctness requirement, not a tuning choice; no-op on CPU.
     with jax.default_matmul_precision("highest"):
         C_conv, iters, delta = jax.lax.while_loop(cond, body, init)
+        if not harvest:
+            dummy = jnp.zeros((1, 1), dtype)
+            return SteadyStateCache(
+                cov_inf=C_conv, L21=dummy, Sl=dummy, Sl_inv=dummy,
+                err_vec=jnp.zeros((d,), dtype), iterations=iters,
+                delta=delta,
+            )
         C_inf, L21, Sl = cov_step(C_conv)
 
         HQl = apply_H(cache.Ql)
-        S = HQl @ HQl.T + E_bc @ E_bc.T
-        err_vec = dt * jnp.sqrt(jnp.diag(S))[:d]
+        # diag(S) only: row norms — the full (m, m) S Gram (plus the
+        # E_bc one) is ~1 GB of dead output at N=1e4
+        s_diag = jnp.sum(HQl * HQl, axis=1) + jnp.sum(E_bc * E_bc, axis=1)
+        err_vec = dt * jnp.sqrt(s_diag)[:d]
         Sl_inv = _triangular_inverse(Sl)
     return SteadyStateCache(cov_inf=C_inf, L21=L21, Sl=Sl, Sl_inv=Sl_inv,
                             err_vec=err_vec, iterations=iters, delta=delta)
@@ -936,8 +954,18 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
         default_chunk = 2 if use_seed else (10 if promote else 50)
         chunk = min(opts.get("chunk_iters", default_chunk), max_iters)
         tol = opts.get("tol", default_tol)
+        # chunked loop WITHOUT the frozen-block harvest (harvest=False):
+        # fused into every chunk's XLA program, the harvest both re-did
+        # its work per chunk and co-scheduled its outputs/temps with the
+        # sweep peak — the round-5 polish OOM at N=1e4. One final
+        # max_iters=0 call extracts the blocks from the converged factor.
         converge = jax.jit(functools.partial(
-            converge_fn, tol=tol, max_iters=chunk, **converge_kwargs,
+            converge_fn, tol=tol, max_iters=chunk, harvest=False,
+            **converge_kwargs,
+        ), donate_argnums=donate)
+        harvest = jax.jit(functools.partial(
+            converge_fn, tol=tol, max_iters=0, harvest=True,
+            **converge_kwargs,
         ), donate_argnums=donate)
 
         total_iters, delta, C_cur = 0, float("inf"), C0
@@ -946,8 +974,11 @@ def run_steady_convergence(converge_fn, cache, C0, dt0, opts, default_tol,
             C_cur = sc.cov_inf
             delta = float(sc.delta)
             total_iters += int(sc.iterations)
+        delta_arr = sc.delta
+        sc = harvest(cache, C_cur, dt0)
         sc = sc._replace(
-            iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype)
+            iterations=jnp.asarray(total_iters, dtype=sc.iterations.dtype),
+            delta=delta_arr,
         )
     if promote:
         sc = type(sc)(**{
