@@ -193,8 +193,13 @@ def gram_rowsharded_cost(m, k, P):
 
 
 def _chol_geometry(d, P, panel):
-    b = panel if panel is not None else min(128, max(8, -(-d // (4 * P))))
+    # mirrors sharded_linalg._chol_pad_geometry EXACTLY, including the
+    # round-5 clamp b <= ceil(d/P) (without it the model overcounts the
+    # panel-broadcast payloads whenever panel > d/P — the stale-model
+    # failure of test_two_qr_step_collectives_match_model)
     r_loc = -(-d // P)
+    b = panel if panel is not None else min(128, max(8, -(-d // (4 * P))))
+    b = max(1, min(b, r_loc))
     r_loc = _ceil_to(r_loc, b)
     return b, r_loc, r_loc * P
 
